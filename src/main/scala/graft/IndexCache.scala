@@ -1,0 +1,36 @@
+package graft
+
+import graft.index.IndexBuilder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Lazily builds (once per sfDir per JVM) the inverted index over the
+  * harness `documents` corpus, with docId = doc_id (stable harness ids →
+  * oracle tie-breaks line up with DuckDB).
+  */
+object IndexCache {
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  val NumBuckets = 16
+
+  def forDocuments(spark: SparkSession, sfDir: String): String =
+    built.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+      buildDocumentsIndex(spark, sfDir, dir, NumBuckets)
+      dir
+    })
+
+  def buildDocumentsIndex(spark: SparkSession, sfDir: String, dir: String, numBuckets: Int): IndexBuilder.BuildResult = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = math.max(1L, docs.count())
+    val bucketSize = math.max(1L, (n + numBuckets - 1) / numBuckets)
+    val assigned = docs.select(
+      col("doc_id").cast("long").as("docId"),
+      (col("doc_id").cast("long") / bucketSize).cast("int").as("bucket"),
+      concat(lit("testdata://"), col("source"), lit("/"), col("doc_id")).as("url"),
+      lit(0L).as("version"),
+      col("text"))
+    IndexBuilder.buildFromAssigned(spark, assigned, dir,
+      IndexBuilder.Config(numBuckets = numBuckets))
+  }
+}

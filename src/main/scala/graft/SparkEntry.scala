@@ -1,13 +1,290 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.query.{Bm25Sql, QueryEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with an exact DuckDB SQL oracle where the operator
+  * is SQL-expressible. Binary posting blocks / WAND internals are covered
+  * by `q_wand_topk` (which must equal the *relational* BM25 oracle —
+  * the strongest cross-check) plus ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: WAND BM25 top-k over the inverted index on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    wandTopK(spark, "/root/testdata/sf0.001")
+
+  private def wandTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = IndexCache.forDocuments(spark, sfDir)
+    QueryEngine.topK(spark, idx, RefQueries.set, RefQueries.K).toDF()
+      .select(col("queryId").as("query_id"), col("rank"),
+        col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- full-text core (the engine itself) ----
+    "q_corpus_stats" -> ((s, d) => {
+      val dl = TextOps.doclens(TextOps.documents(s, d))
+      dl.agg(count(lit(1)).as("n_docs"), sum("doclen").as("total_tokens"),
+        round(sum("doclen").cast("double") / count(lit(1)).cast("double"), 4).as("avgdl"))
+    }),
+    "q_term_df" -> ((s, d) =>
+      TextOps.tokens(TextOps.documents(s, d))
+        .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+        .orderBy("term")),
+    "q_term_tf" -> ((s, d) =>
+      TextOps.termFreqs(TextOps.documents(s, d)).orderBy("doc_id", "term")),
+    "q_doclen" -> ((s, d) =>
+      TextOps.doclens(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_bm25_topk" -> ((s, d) => Bm25Sql.topK(s, d)),
+    "q_wand_topk" -> ((s, d) => wandTopK(s, d)),
+    "q_index_termstats" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      s.read.parquet(s"$idx/terms").select(col("term"), col("df")).orderBy("term")
+    }),
+
+    // ---- reference pipeline operators (monstache analogs) ----
+    "q_version_dedup" -> ((s, d) => Relational.versionDedup(s, d).drop("ts")),
+    "q_ns_filter" -> ((s, d) => Relational.namespaceFilter(s, d)),
+    "q_relate_join" -> ((s, d) => Relational.relateJoin(s, d)),
+    "q_relate_2hop" -> ((s, d) => Relational.relateTwoHop(s, d)),
+    "q_tombstone_anti" -> ((s, d) => Relational.tombstoneAntiJoin(s, d)),
+    "q_patch_lag" -> ((s, d) => Relational.patchHistory(s, d)),
+    "q_time_machine" -> ((s, d) => Relational.timeMachine(s, d)),
+    "q_bitpack_version" -> ((s, d) => Relational.bitpackVersions(s, d)),
+    "q_top_orders" -> ((s, d) => Relational.topOrders(s, d)),
+
+    // ---- training-data pipeline: dedup ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(TextOps.documents(s, d)).orderBy("content_hash")),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(TextOps.documents(s, d), n = 3, minJaccard = 0.1)
+        .orderBy("id_a", "id_b")),
+    "q_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(TextOps.documents(s, d), n = 3, k = 8, bands = 4,
+        minEstJaccard = 0.25).orderBy("id_a", "id_b")),
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(TextOps.documents(s, d), maxHamming = 6)
+        .orderBy("id_a", "id_b")),
+
+    // ---- training-data pipeline: similarity / text analysis ----
+    "q_ann_cosine" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_lang_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(TextOps.documents(s, d))
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          round(col("mean_tok_len"), 4).as("mean_tok_len"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("punct_ratio"), 4).as("punct_ratio"), col("quality"))
+        .orderBy("doc_id")),
+    "q_token_counts" -> ((s, d) =>
+      TextOps.tokenCounts(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_lang_id" -> ((s, d) => TextOps.langId(TextOps.documents(s, d)).orderBy("doc_id")),
+
+    // ---- multimodal plumbing ----
+    "q_media_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(Multimodal.htmlPayload(s, d))
+        .select("doc_id", "byte_len", "magic", "kind").orderBy("doc_id")),
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.htmlPayload(s, d)).orderBy("doc_id", "frame"))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared tokenizer CTE — semantics pinned to TextPrep.tokenize. */
+  private val TOK =
+    """tok AS (SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> '')"""
+
+  private val TF = """tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)"""
+  private val DL = """dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY 1)"""
+  private val STATS = """stats AS (SELECT count(*)::BIGINT AS n, sum(doclen)::BIGINT AS tot FROM dl)"""
+
+  private def bm25Sql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
+  private def shinglesSql(n: Int): String =
+    s"""arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM arridx)""".stripMargin
+
+  private def minhashSql: String = {
+    val mhCols = (0 until 8).map(i =>
+      s"min(cast('0x' || substr(md5('$i:' || shingle), 1, 8) AS UBIGINT))::BIGINT AS mh_$i").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh_${2 * b}::VARCHAR || '_' || mh_${2 * b + 1}::VARCHAR AS key FROM sig").mkString(" UNION ALL ")
+    val agree = (0 until 8).map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ${shinglesSql(3)},
+       |sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+       |buckets AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, round(($agree) / 8.0, 4) AS est_jaccard
+       |FROM cand JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |WHERE round(($agree) / 8.0, 4) >= 0.25
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      s"""WITH $TOK, $DL
+         |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,
+         |       round(sum(doclen)::DOUBLE / count(*)::DOUBLE, 4) AS avgdl FROM dl""".stripMargin,
+    "q_term_df" ->
+      s"""WITH $TOK
+         |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "q_term_tf" ->
+      s"""WITH $TOK
+         |SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    "q_doclen" ->
+      s"""WITH $TOK
+         |SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25_topk" -> bm25Sql,
+    "q_wand_topk" -> bm25Sql, // WAND must be rank-identical to the oracle
+    "q_index_termstats" ->
+      s"""WITH $TOK
+         |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_version_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_ns_filter" ->
+      """SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+        |FROM events
+        |WHERE regexp_matches(event_type, '^(click|view|purchase)$') AND NOT regexp_matches(event_type, '^view$')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_relate_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_relate_2hop" ->
+      """SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_tombstone_anti" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_patch_lag" ->
+      """SELECT user_id, event_id, event_type,
+        |       round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 0.0), 4) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_time_machine" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_bitpack_version" ->
+      """SELECT event_id, (cast(floor(epoch(ts)) AS BIGINT) * 4294967296 + (event_id % 4294967296)) AS version
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH ${shinglesSql(3)},
+         |sdf AS (SELECT shingle, count(*)::BIGINT AS sdf FROM sh GROUP BY 1),
+         |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE sdf BETWEEN 2 AND 1000),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS set_size FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS common
+         |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+         |       round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE, 4) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE, 4) >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_lsh" -> minhashSql,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |pairs AS (
+        |  SELECT q.query_id, ev.vec_id,
+        |    sum((ev.embedding[ev.i]::DOUBLE) * (q.qv[ev.i]::DOUBLE) ORDER BY ev.i) AS dp,
+        |    sum((ev.embedding[ev.i]::DOUBLE) * (ev.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS na,
+        |    sum((q.qv[ev.i]::DOUBLE) * (q.qv[ev.i]::DOUBLE) ORDER BY ev.i) AS nq
+        |  FROM ev CROSS JOIN q
+        |  WHERE ev.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_lang_quality" -> {
+      val stop = TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH $TOK,
+         |tokagg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, avg(length(term)::DOUBLE) AS mean_tok_len,
+         |                  sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS stop_ratio
+         |           FROM tok GROUP BY doc_id),
+         |base AS (SELECT doc_id,
+         |    (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE AS punct_ratio
+         |  FROM documents)
+         |SELECT b.doc_id, n_tokens, round(mean_tok_len, 4) AS mean_tok_len, round(stop_ratio, 4) AS stop_ratio,
+         |       round(punct_ratio, 4) AS punct_ratio,
+         |       round(least(n_tokens / 64.0, 1.0) * 0.4 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3 + least(stop_ratio * 5.0, 1.0) * 0.3, 4) AS quality
+         |FROM base b JOIN tokagg t ON b.doc_id = t.doc_id ORDER BY b.doc_id""".stripMargin
+    },
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS alnum_tokens,
+        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::BIGINT AS symbol_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $TOK,
+         |d AS (SELECT DISTINCT doc_id, term FROM tok)
+         |SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fingerprint
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      def hits(lang: String) = {
+        val words = TextOps.LangStopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"sum(CASE WHEN term IN ($words) THEN 1 ELSE 0 END)::BIGINT AS hits_$lang"
+      }
+      s"""WITH $TOK,
+         |agg AS (SELECT doc_id, ${hits("de")}, ${hits("en")}, ${hits("es")}, ${hits("fr")} FROM tok GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN hits_fr > greatest(hits_de, hits_en, hits_es) THEN 'fr'
+         |       WHEN hits_es > greatest(hits_de, hits_en) THEN 'es'
+         |       WHEN hits_en > hits_de THEN 'en'
+         |       ELSE 'de' END AS lang_pred,
+         |  hits_de, hits_en, hits_es, hits_fr
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q_media_meta" ->
+      """SELECT doc_id, octet_length(encode('<html><body>' || text || '</body></html>'))::BIGINT AS byte_len,
+        |       '3c68746d' AS magic, 'html' AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

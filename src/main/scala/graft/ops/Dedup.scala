@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation at scale:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes (100 TB): every variant below is shuffle-bounded by
+  * (a) hashing the *document key* (uniform — exact dedup), or
+  * (b) exploding to shingle/band keys whose cardinality grows with the
+  * corpus (uniform-ish) — candidate generation joins on band buckets, never
+  * an all-pairs product. Head shingles (ubiquitous n-grams) are the skew
+  * risk: `shingles` drops the top-frequency shingles above
+  * `maxShingleDf` before the pair join, the standard stopword-shingle cut.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Token n-gram shingles, distinct per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = col("toks")
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
+      .filter(size(split(col("shingle"), " ")) === n)
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-duplicate pairs: candidate pairs share >=1 shingle
+    * (bucket join on shingle), Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed
+    * from shingle-set sizes — no pairwise cross product.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = shingles(docs, n)
+    // drop ubiquitous shingles (skew guard, analog of head-term salting)
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= maxShingleDf && col("sdf") >= 2),
+      Seq("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val a = rare.select(col("shingle"), col("doc_id").as("id_a"))
+    val b = rare.select(col("shingle"), col("doc_id").as("id_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+  }
+
+  /** A deterministic 32-bit-ish hash family over strings, built from md5 so
+    * the DuckDB oracle can reproduce it exactly:
+    * h_i(s) = first 8 hex digits of md5(i || ':' || s) as a BIGINT.
+    */
+  def md5Hash(c: Column, i: Int): Column =
+    conv(substring(md5(concat(lit(i.toString), lit(":"), c)), 1, 8), 16, 10).cast("bigint")
+
+  /** MinHash signatures: k independent permutation-approximating hashes,
+    * min over the doc's shingle set. Signature as k columns, banded for LSH.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8): DataFrame = {
+    val sh = shingles(docs, n)
+    val aggs = (0 until k).map(i => min(md5Hash(col("shingle"), i)).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: band the k-hash signature into `bands`
+    * bands of `k/bands` rows; docs sharing any band bucket are candidates;
+    * verified candidates carry the estimated Jaccard (signature agreement).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs, n, k).cache()
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("key"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.alias("x").join(buckets.alias("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // verify: fraction of agreeing minhashes estimates Jaccard
+    val agree = (0 until k).map(i =>
+      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(sig.alias("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.alias("b"), col("id_b") === col("b.doc_id"))
+      .withColumn("est_jaccard", round(agree.cast("double") / k, 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash: 64-bit signature; bit j = sign of Σ_terms tf · (±1 per bit of
+    * h(term)). Near-dups = signatures within `maxHamming`. Implemented with
+    * typed mapPartitions over per-doc term vectors (bit-twiddling does not
+    * belong in Catalyst); candidate generation by 4-way band blocking over
+    * the 64-bit signature (docs within Hamming distance 3 share at least
+    * one of 4 16-bit bands — pigeonhole).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(Long, Long)]
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as(Encoders.product[(Long, String)])
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val tfs = graft.textprep.TextPrep.termFreqs(text)
+          val acc = new Array[Int](64)
+          tfs.foreach { case (term, tf) =>
+            val h = xxHashString(term)
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) acc(j) += tf else acc(j) -= tf
+              j += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+          (docId, sig)
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs).cache()
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.alias("x").join(banded.alias("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Same 64-bit string hash on both driver and executors (pure fn). */
+  private def xxHashString(s: String): Long = {
+    // FNV-1a 64 (public domain) — stable, dependency-free
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

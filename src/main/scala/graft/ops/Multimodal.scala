@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The real decode (image/audio codecs) is STUBBED with a deterministic
+  * fake — the codec libraries are not in this container — but the
+  * Spark-side contract is real and tested: schema, batch iteration,
+  * partition-preserving mapPartitions, and the downstream feature columns.
+  * Swapping `decodeStub` for a real decoder changes no plan shape.
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, byte_len: Long, magic: String,
+      kind: String, fake_width: Int, fake_height: Int)
+
+  /** html/binary payload inspector over the canonical page table: byte
+    * length + sniffed magic. Pure column ops where possible; the
+    * "decode" runs as typed mapPartitions over the binary column (the
+    * batch shape a Pandas-UDF/mapInPandas stage would have).
+    */
+  def mediaMeta(pages: DataFrame): DataFrame = {
+    val rows = pages.select(col("doc_id").cast("long"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+    rows.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val magic = bytes.take(4).map(b => f"$b%02x").mkString
+        val kind = sniff(bytes)
+        val (w, h) = decodeStub(bytes)
+        MediaMeta(id, bytes.length.toLong, magic, kind, w, h)
+      }
+    }(Encoders.product[MediaMeta]).toDF()
+  }
+
+  private def sniff(bytes: Array[Byte]): String = {
+    def startsWith(sig: Array[Int]): Boolean =
+      bytes.length >= sig.length && sig.indices.forall(i => (bytes(i) & 0xff) == sig(i))
+    if (startsWith(Array(0x89, 0x50, 0x4e, 0x47))) "png"
+    else if (startsWith(Array(0xff, 0xd8, 0xff))) "jpeg"
+    else if (startsWith(Array(0x52, 0x49, 0x46, 0x46))) "riff"
+    else if (bytes.length >= 5 && new String(bytes.take(5), "ASCII").equalsIgnoreCase("<html")) "html"
+    else "unknown"
+  }
+
+  /** STUB decoder: a real implementation would hand `bytes` to an image
+    * library and return true dimensions. The deterministic fake derives
+    * fake dimensions from content so tests pin the plumbing end-to-end.
+    */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    var h = 0
+    var i = 0
+    while (i < math.min(bytes.length, 64)) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    val w = 16 + math.abs(h % 1024)
+    (w, 16 + math.abs((h / 1024) % 1024))
+  }
+
+  /** Frame-sampling shape: explode a binary payload into n fixed-offset
+    * "frames" (byte slices) — the plan shape of video frame extraction:
+    * one input row → n frame rows, batch-local, no shuffle.
+    */
+  def sampleFrames(pages: DataFrame, nFrames: Int = 4): DataFrame = {
+    val rows = pages.select(col("doc_id").cast("long"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+    rows.flatMap { case (id, bytes) =>
+      val stride = math.max(1, bytes.length / nFrames)
+      (0 until nFrames).iterator.filter(f => f * stride < bytes.length).map { f =>
+        val slice = bytes.slice(f * stride, math.min(bytes.length, f * stride + 16))
+        (id, f, slice.length, slice.map(b => f"$b%02x").mkString)
+      }
+    }(Encoders.product[(Long, Int, Int, String)])
+      .toDF("doc_id", "frame", "frame_bytes", "frame_hex")
+  }
+
+  /** The canonical page table's html column as the media payload. */
+  def htmlPayload(spark: SparkSession, sfDir: String): DataFrame =
+    graft.corpus.Corpus.pagesFromDocuments(spark, sfDir)
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "/(\\d+)$", 1).cast("long"))
+      .select(col("doc_id"), col("html").as("payload"))
+}

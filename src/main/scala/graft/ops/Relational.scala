@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's pipeline operators (SURVEY.md §2), re-expressed as
+  * declarative Spark plans over the harness tables. Each maps to a cited
+  * monstache behavior; each has an exact DuckDB SQL oracle in SparkEntry.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** W1/X2 — external-version last-writer-wins dedup: keep each user's
+    * latest event (version = ts, tie-break event_id desc), exactly
+    * monstache's bulk-index versioning (`monstache.go:4053-4063`,
+    * 409-conflict-ignore `monstache.go:568-571`).
+    */
+  def versionDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** F2/F3 — namespace include/exclude regex filters
+    * (`monstache.go:1454-1462`, `monstache.go:1531-1539`): rlike include
+    * minus rlike exclude, pushed down by Catalyst.
+    */
+  def namespaceFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(col("event_type").rlike("^(click|view|purchase)$"))
+      .filter(!col("event_type").rlike("^view$"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .orderBy("event_type")
+
+  /** J1 — relate equi-join (`monstache.go:1221-1358`): the per-row point
+    * lookups become one declared broadcast join (customer is the small
+    * dimension side).
+    */
+  def relateJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J2 — recursive relate (multi-hop BFS, `monstache.go:1225-1356`):
+    * region → nation → customer as chained broadcast joins.
+    */
+  def relateTwoHop(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = t(spark, sfDir, "region")
+    val nation = t(spark, sfDir, "nation")
+    val customer = t(spark, sfDir, "customer")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name")
+  }
+
+  /** W3 — tombstone delete propagation: drop every order whose customer is
+    * in the tombstone set (stateless delete via anti-join,
+    * `monstache.go:4065-4147`). Tombstones: customers with negative balance.
+    */
+  def tombstoneAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val tombstones = t(spark, sfDir, "customer")
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    orders.join(broadcast(tombstones), orders("o_custkey") === tombstones("c_custkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** M6 — JSON-merge-patch history (`monstache.go:3084-3158`): batch analog
+    * via lag() — per user, each event paired with its previous value, the
+    * patch being the delta.
+    */
+  def patchHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, sfDir, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4))
+      .select("user_id", "event_id", "event_type", "delta")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W6 — time-machine dated index: every version appended to a
+    * date-suffixed index (`monstache.go:3253-3291`) → date-partitioned
+    * history counts.
+    */
+  def timeMachine(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+
+  /** Scalar — bit-packed external version `(t<<32)|ordinal`
+    * (`monstache.go:4053-4063`): expressed with arithmetic so the oracle is
+    * engine-agnostic (shiftleft(x,32) == x*2^32 for in-range values).
+    */
+  def bitpackVersions(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        (unix_timestamp(col("ts")) * lit(4294967296L) + pmod(col("event_id"), lit(4294967296L)))
+          .as("version"))
+      .orderBy("event_id")
+
+  /** T1 — sort+limit with deterministic tie-break (`monstache.go:3760-3785`):
+    * Catalyst plans this as TakeOrderedAndProject (per-partition heaps, no
+    * global sort).
+    */
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+}

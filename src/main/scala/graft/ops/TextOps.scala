@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all as
+  * pure Catalyst column expressions (codegen'd, no UDFs) with exact DuckDB
+  * SQL equivalents so every operator is driver-oracle-checkable.
+  *
+  * The tokenizer column is pinned to `split(lower(text), '[^a-z0-9]+')`
+  * minus empties — the same semantics as `TextPrep.tokenize` (golden-tested
+  * for parity in TextPrepSpec).
+  */
+object TextOps {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** (doc_id, term) token rows, empties filtered. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** (doc_id, term, tf) + doclen. */
+  def termFreqs(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  def doclens(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+
+  // -------------------------------------------------------- language ID
+
+  /** Tiny deterministic stopword inventories per language — stopword-count
+    * language ID is a standard heuristic; exact lists here are arbitrary
+    * but frozen (must match the SQL oracle).
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Stopword ratio against the English inventory: a quality/lang-id
+    * feature column.
+    */
+  def stopwordRatio(docs: DataFrame): DataFrame = {
+    val t = tokens(docs)
+    t.groupBy("doc_id").agg(
+      (sum(when(col("term").isin(StopwordsEn: _*), 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("stop_ratio"))
+  }
+
+  /** Quality scoring: length, punctuation density, stopword ratio, mean
+    * token length — the standard cheap web-text quality features.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.!?,;:]", ""))).cast("double")
+    val base = docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_obs"),
+      (nPunct / nChars).as("punct_ratio"))
+    val tok = tokens(docs).groupBy("doc_id").agg(
+      count(lit(1)).cast("double").as("n_tokens"),
+      avg(length(col("term")).cast("double")).as("mean_tok_len"),
+      (sum(when(col("term").isin(StopwordsEn: _*), 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("stop_ratio"))
+    base.join(tok, Seq("doc_id"))
+      .withColumn("quality",
+        round(
+          least(col("n_tokens") / lit(64.0), lit(1.0)) * lit(0.4) +
+            (lit(1.0) - least(col("punct_ratio") * lit(10.0), lit(1.0))) * lit(0.3) +
+            least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3), 4))
+  }
+
+  /** Token counting: whitespace tokens + alnum tokens (BPE-ish proxy:
+    * alnum runs + count of non-space non-alnum symbols as single tokens).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), c => c =!= "")).cast("bigint").as("ws_tokens"),
+      size(filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "")).cast("bigint").as("alnum_tokens"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("bigint").as("symbol_tokens"))
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive content fingerprint (dedup key robust to shuffling).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id")
+      .agg(md5(concat_ws(" ", array_sort(collect_set(col("term"))))).as("fingerprint"))
+
+  /** Heuristic language ID from per-language stopword hit counts.
+    * Deterministic tie-break by language code.
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es")
+  )
+
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(docs)
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      sum(when(col("term").isin(words: _*), 1).otherwise(0)).cast("bigint").as(s"hits_$lang")
+    }
+    val agg = t.groupBy("doc_id").agg(scores.head, scores.tail: _*)
+    // greatest hits wins; ties broken by language code ascending
+    val langs = LangStopwords.keys.toSeq.sorted
+    val best = langs.foldLeft((lit(-1L), lit("und"))) { case ((bh, bl), lang) =>
+      val h = col(s"hits_$lang")
+      (when(h > bh, h).otherwise(bh), when(h > bh, lit(lang)).otherwise(bl))
+    }
+    agg.withColumn("lang_pred", best._2)
+      .select((Seq(col("doc_id"), col("lang_pred")) ++ langs.map(l => col(s"hits_$l"))): _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.query
+
+import graft.ops.TextOps
+import graft.RefQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exhaustive BM25 over the harness `documents` table as a pure Catalyst
+  * plan — the SQL-expressible oracle twin of the WAND path. Summation is
+  * forced into ascending-term order (array_sort + ordered fold) so the
+  * DuckDB oracle's `sum(x ORDER BY term)` reproduces scores bit-for-bit.
+  */
+object Bm25Sql {
+
+  def topK(spark: SparkSession, sfDir: String, queries: Seq[(String, String)] = RefQueries.set,
+      k: Int = RefQueries.K): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.documents(spark, sfDir)
+    val tok = TextOps.tokens(docs)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+
+    val st = dl.agg(count(lit(1)).as("n"), sum("doclen").as("tot")).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+
+    val q = queries.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+
+    val dft = tf.join(q.select("term").distinct(), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+    // addend = idf * partial, with literal constants matching Bm25.scala and
+    // the SQL oracle exactly (2.2, 1.2, 0.25, 0.75 — same parse, same parens)
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val partial = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(avgdl)))
+
+    val scored = q
+      .join(tf, Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("addend", idf * partial)
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("addend")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("addend")).as("score"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

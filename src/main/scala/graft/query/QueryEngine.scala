@@ -1,0 +1,272 @@
+package graft.query
+
+import graft.codec.Blocks
+import graft.model._
+import graft.textprep.TextPrep
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Query-time top-k: block-max WAND with Okapi BM25 (k1=1.2, b=0.75) over
+  * the compressed document-partitioned index — the operator the reference
+  * delegates to Elasticsearch (SURVEY.md §2.7 T3), built from scratch.
+  *
+  * Execution shape: postings rows for the query terms are pruned at the
+  * parquet scan (term predicate pushdown onto the sorted term column), then
+  * each bucket runs WAND independently over its mini-index (per-partition
+  * top-k heaps), and a final window-rank merges k·buckets candidates — the
+  * same scatter-gather shape Elasticsearch itself uses across shards.
+  *
+  * Rank-identity contract: scores are summed per doc in ascending term
+  * order (both here and in the exhaustive oracle), ties broken by docId
+  * asc. Per-bucket processing visits docIds in increasing order, which makes
+  * threshold pruning with strict `>` exact under that tie-break: everything
+  * in the heap has a smaller docId than any future candidate, so an
+  * equal-score future candidate would lose the tie-break anyway.
+  */
+object QueryEngine {
+
+  def loadStats(spark: SparkSession, indexDir: String): CorpusStats = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+  }
+
+  /** Global term stats for just the query terms (small driver-side map). */
+  def loadTermStats(spark: SparkSession, indexDir: String, terms: Seq[String]): Map[String, TermStats] = {
+    import spark.implicits._
+    if (terms.isEmpty) Map.empty
+    else spark.read.parquet(s"$indexDir/terms")
+      .filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("df"), col("cf"), col("maxPartial"))
+      .as[TermStats].collect().map(t => t.term -> t).toMap
+  }
+
+  /** Top-k for a batch of queries. Returns (queryId, rank, docId, score). */
+  def topK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] = {
+    import spark.implicits._
+    val qTerms: Seq[(String, Array[String])] =
+      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    val stats = loadStats(spark, indexDir)
+    val tstats = loadTermStats(spark, indexDir, allTerms)
+    if (allTerms.isEmpty || tstats.isEmpty) return spark.emptyDataset[ScoredDoc]
+
+    val qTermsB = spark.sparkContext.broadcast(qTerms)
+    val tstatsB = spark.sparkContext.broadcast(tstats)
+    val n = stats.n
+    val avgdl = stats.avgdl
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("df"), col("maxPartial"), col("blocks"))
+      .as[TermPostings]
+
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+        val ts = tstatsB.value
+        qTermsB.value.iterator.flatMap { case (qid, terms) =>
+          val present = terms.filter(byTerm.contains)
+          if (present.isEmpty) Iterator.empty
+          else wandBucket(qid, present, byTerm, ts, n, avgdl, k).iterator
+        }
+      }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("queryId")).orderBy(col("score").desc, col("docId").asc)
+    perBucket.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("rank").cast("int").as("rank"), col("docId"), col("score"))
+      .as[ScoredDoc]
+  }
+
+  // ------------------------------------------------------------------ WAND
+
+  /** Streaming cursor over one term's compressed blocks in one bucket.
+    * Invariant after construction / advance*: (curDoc, curTf, curDl) hold
+    * the current posting; (bi, i) point at the NEXT posting to decode.
+    */
+  private final class TermCursor(
+      val term: String,
+      val idf: Double,
+      blocks: IndexedSeq[PostingBlock]
+  ) {
+    private var bi = 0
+    private var docs: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var dls: Array[Int] = _
+    private var i = 0
+    var curDoc: Long = Long.MaxValue
+    var curTf: Int = 0
+    var curDl: Int = 0
+    var exhausted: Boolean = blocks.isEmpty
+
+    if (!exhausted) { loadBlock(); advance() }
+
+    private def loadBlock(): Unit = {
+      val b = blocks(bi)
+      docs = Blocks.decodeDocIds(b)
+      tfs = Blocks.decodeTfs(b)
+      dls = Blocks.decodeDoclens(b)
+      i = 0
+    }
+
+    /** Block-max upper bound of the block holding curDoc. */
+    def blockMaxScore: Double = idf * blocks(bi).maxPartial
+    def blockLastDoc: Long = blocks(bi).lastDocId
+
+    def advance(): Unit = {
+      if (exhausted) return
+      if (i >= docs.length) {
+        bi += 1
+        if (bi >= blocks.length) { exhausted = true; curDoc = Long.MaxValue; return }
+        loadBlock()
+      }
+      curDoc = docs(i); curTf = tfs(i); curDl = dls(i); i += 1
+    }
+
+    /** Advance to first posting with docId >= target, skipping whole blocks
+      * via lastDocId metadata (never decodes skipped blocks).
+      */
+    def advanceTo(target: Long): Unit = {
+      while (!exhausted && curDoc < target) {
+        if (blocks(bi).lastDocId < target) {
+          bi += 1
+          while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
+          if (bi >= blocks.length) { exhausted = true; curDoc = Long.MaxValue; return }
+          loadBlock()
+          curDoc = docs(0); curTf = tfs(0); curDl = dls(0); i = 1
+        } else {
+          advance()
+        }
+      }
+    }
+  }
+
+  /** Block-max WAND over one bucket for one query. Exact top-k under
+    * (score desc, docId asc). `terms` must be sorted ascending — cursor
+    * index order IS the summation order.
+    */
+  private[query] def wandBucket(
+      qid: String,
+      terms: Seq[String],
+      byTerm: Map[String, TermPostings],
+      tstats: Map[String, TermStats],
+      n: Long,
+      avgdl: Double,
+      k: Int
+  ): Seq[ScoredDoc] = {
+    val ordered = terms.sorted
+    val cursors: Array[TermCursor] = ordered.flatMap { t =>
+      tstats.get(t).map { st =>
+        new TermCursor(t, Bm25.idf(n, st.df), byTerm(t).blocks.toIndexedSeq)
+      }
+    }.toArray
+    if (cursors.isEmpty) return Nil
+    // term-level upper bound: idf * bucket-local maxPartial (tight + valid
+    // within this bucket)
+    val termUb: Array[Double] = cursors.map(c => c.idf * byTerm(c.term).maxPartial)
+
+    // heap of current top-k; head = weakest (lowest score, then largest docId)
+    val weakestFirst: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)](e => (-e._1, e._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](weakestFirst)
+    def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._1
+    def offer(score: Double, docId: Long): Unit = {
+      if (heap.size < k) heap.enqueue((score, docId))
+      else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, docId)) }
+      // equal score keeps the incumbent (smaller docId): exact tie-break
+    }
+
+    val live = mutable.ArrayBuffer(cursors.indices: _*)
+    var spin = true
+    while (spin && live.nonEmpty) {
+      val sorted = live.toArray.sortBy(ci => cursors(ci).curDoc)
+      // pivot: smallest prefix whose term-ub sum exceeds threshold
+      var acc = 0.0
+      var p = -1
+      var j = 0
+      while (j < sorted.length && p < 0) {
+        acc += termUb(sorted(j))
+        if (acc > threshold) p = j
+        j += 1
+      }
+      if (p < 0 || cursors(sorted(p)).curDoc == Long.MaxValue) spin = false
+      else {
+        val pivotDoc = cursors(sorted(p)).curDoc
+        if (cursors(sorted(0)).curDoc == pivotDoc) {
+          // all cursors currently sitting at pivotDoc (any index — later
+          // cursors may coincide too; the upper bound must include them)
+          var bmAcc = 0.0
+          var ci = 0
+          while (ci < cursors.length) {
+            val c = cursors(ci)
+            if (!c.exhausted && c.curDoc == pivotDoc) bmAcc += c.blockMaxScore
+            ci += 1
+          }
+          if (bmAcc > threshold) {
+            // full evaluation, ascending term order = ascending cursor index
+            var score = 0.0
+            var si = 0
+            while (si < cursors.length) {
+              val c = cursors(si)
+              if (!c.exhausted && c.curDoc == pivotDoc)
+                score += c.idf * Bm25.partial(c.curTf, c.curDl, avgdl)
+              si += 1
+            }
+            offer(score, pivotDoc)
+            var ai = 0
+            while (ai < cursors.length) {
+              val c = cursors(ai)
+              if (!c.exhausted && c.curDoc == pivotDoc) c.advance()
+              ai += 1
+            }
+          } else {
+            // block-max skip (BMW, Ding & Suel '11): docs up to the smallest
+            // current-block boundary of the pivot set are bounded by bmAcc;
+            // also bounded by the next doc of any cursor outside the set.
+            var next = Long.MaxValue
+            var mi = 0
+            while (mi < cursors.length) {
+              val c = cursors(mi)
+              if (!c.exhausted) {
+                if (c.curDoc == pivotDoc) next = math.min(next, c.blockLastDoc)
+                else next = math.min(next, c.curDoc - 1)
+              }
+              mi += 1
+            }
+            val target = next + 1
+            var ai = 0
+            while (ai < cursors.length) {
+              val c = cursors(ai)
+              if (!c.exhausted && c.curDoc == pivotDoc) c.advanceTo(target)
+              ai += 1
+            }
+          }
+        } else {
+          // advance the largest-ub cursor that is strictly before pivotDoc
+          // (a tied-at-pivot cursor would make advanceTo a no-op → no
+          // progress); sorted(0) is strictly before pivot in this branch.
+          var best = sorted(0)
+          var jb = 1
+          while (jb < p) {
+            if (cursors(sorted(jb)).curDoc < pivotDoc && termUb(sorted(jb)) > termUb(best))
+              best = sorted(jb)
+            jb += 1
+          }
+          cursors(best).advanceTo(pivotDoc)
+        }
+        var li = live.length - 1
+        while (li >= 0) {
+          if (cursors(live(li)).exhausted) live.remove(li)
+          li -= 1
+        }
+      }
+    }
+    val best = heap.dequeueAll.toArray.sortBy { case (s, d) => (-s, d) }
+    best.take(k).zipWithIndex.map { case ((s, d), i) => ScoredDoc(qid, i + 1, d, s) }.toSeq
+  }
+}

@@ -1,0 +1,157 @@
+package graft.textprep
+
+import java.nio.charset.StandardCharsets
+import java.util.Locale
+import scala.collection.mutable
+
+/** Deterministic text extraction + tokenization.
+  *
+  * The per-row invariant (`BASELINE.json` `input_hint`) is *byte-identical
+  * extracted text per url*: `extract(html)` must reproduce the `text` column
+  * exactly. Reference analog: monstache's mapper stage
+  * (`monstache.go:1000-1037`) + canonical BSON→JSON encoding
+  * (`monstachemap/encoding.go:84-138`) — fixed formats, no locale-dependent
+  * behavior (SURVEY.md §7.4.3). Everything here is pure Scala (UTC,
+  * Locale.ROOT) so it is usable both inside Spark closures and in plain unit
+  * tests.
+  */
+object TextPrep {
+
+  /** Extract visible text from raw page bytes.
+    *
+    * Deterministic rules, frozen (golden-tested):
+    *  1. decode UTF-8 (malformed sequences → U+FFFD, the charset default);
+    *  2. drop <script>/<style> elements including content (case-insensitive);
+    *  3. strip all remaining tags;
+    *  4. decode the five XML entities + decimal/hex numeric entities;
+    *  5. collapse runs of ASCII whitespace to a single space and trim.
+    */
+  def extract(html: Array[Byte]): String =
+    extractFromString(new String(html, StandardCharsets.UTF_8))
+
+  def extractFromString(raw: String): String = {
+    val noScript = dropElement(dropElement(raw, "script"), "style")
+    val sb       = new java.lang.StringBuilder(noScript.length)
+    var i        = 0
+    val n        = noScript.length
+    var inTag    = false
+    while (i < n) {
+      val c = noScript.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') inTag = true
+      else sb.append(c)
+      i += 1
+    }
+    collapseWs(decodeEntities(sb.toString))
+  }
+
+  private def dropElement(s: String, tag: String): String = {
+    val lower = s.toLowerCase(Locale.ROOT)
+    val open  = "<" + tag
+    val close = "</" + tag
+    val out   = new java.lang.StringBuilder(s.length)
+    var i     = 0
+    while (i < s.length) {
+      val st = lower.indexOf(open, i)
+      if (st < 0) { out.append(s, i, s.length); i = s.length }
+      else {
+        out.append(s, i, st)
+        val en = lower.indexOf(close, st)
+        if (en < 0) i = s.length
+        else {
+          val gt = lower.indexOf('>', en)
+          i = if (gt < 0) s.length else gt + 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i  = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0 || semi - i > 10) { sb.append(c); i += 1 }
+        else {
+          val ent = s.substring(i + 1, semi)
+          val rep = ent match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              try String.valueOf(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+              catch { case _: Exception => null }
+            case e if e.startsWith("#") =>
+              try String.valueOf(Character.toChars(Integer.parseInt(e.drop(1))))
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          if (rep == null) { sb.append(c); i += 1 }
+          else { sb.append(rep); i = semi + 1 }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def collapseWs(s: String): String = {
+    val sb      = new java.lang.StringBuilder(s.length)
+    var i       = 0
+    var pending = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') pending = true
+      else {
+        if (pending && sb.length > 0) sb.append(' ')
+        pending = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Tokenize: lowercase, split on runs of non-[a-z0-9].
+    *
+    * Semantics are pinned to the SQL-expressible form
+    * `split(lower(text), '[^a-z0-9]+')` filtered of empties, so the DuckDB
+    * oracle (`regexp_split_to_array(lower(text), '[^a-z0-9]+')`) is
+    * byte-for-byte comparable (SURVEY.md §5).
+    */
+  def tokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase(Locale.ROOT)
+    val out   = mutable.ArrayBuffer.empty[String]
+    val sb    = new java.lang.StringBuilder(16)
+    var i     = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** Per-doc term frequencies — within-doc aggregation happens here, in the
+    * flatMap, so the build's first shuffle already carries (term, docId, tf)
+    * rows instead of raw token streams (map-side pre-aggregation).
+    */
+  def termFreqs(text: String): Array[(String, Int)] = {
+    val toks = tokenize(text)
+    val m    = mutable.LinkedHashMap.empty[String, Int]
+    var i    = 0
+    while (i < toks.length) { m.update(toks(i), m.getOrElse(toks(i), 0) + 1); i += 1 }
+    m.toArray
+  }
+
+  def doclen(text: String): Int = tokenize(text).length
+}

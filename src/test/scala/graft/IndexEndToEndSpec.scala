@@ -1,0 +1,89 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.index.IndexBuilder
+import graft.model._
+import graft.query.{ExhaustiveScorer, QueryEngine}
+import java.nio.file.Files
+
+/** End-to-end: synthetic corpus → index build → WAND top-k must be
+  * rank-identical (docIds AND scores, bit-for-bit) to the exhaustive
+  * oracle (FIXTURES.md §3, `BASELINE.json` north_rule).
+  */
+class IndexEndToEndSpec extends SparkSpecBase {
+
+  private lazy val tmp = Files.createTempDirectory("graftidx").toString
+  private lazy val pages = Corpus.syntheticDS(spark, 1000, seed = 42L, parts = 8)
+  private lazy val result = IndexBuilder.build(spark, pages, tmp,
+    IndexBuilder.Config(numBuckets = 8))
+
+  // query set per FIXTURES.md §3: rare term, head term, multi-term,
+  // absent term, long query
+  private val queries = Seq(
+    "q_head"   -> "the",
+    "q_body"   -> "spark index",
+    "q_multi"  -> "the data spark query merge",
+    "q_rare"   -> "rare42x0",
+    "q_absent" -> "zzzznotaterm",
+    "q_mixed"  -> "zzzznotaterm spark"
+  )
+
+  test("build produces all index tables with sane stats") {
+    val stats = result.stats
+    assert(stats.n === 1000L)
+    assert(stats.avgdl > 8.0 && stats.avgdl < 512.0)
+    val docs = spark.read.parquet(s"$tmp/docs")
+    assert(docs.count() === 1000L)
+    // docIds dense 0..N-1
+    import org.apache.spark.sql.functions._
+    val mm = docs.agg(min("docId"), max("docId"), countDistinct("docId")).head()
+    assert(mm.getLong(0) === 0L && mm.getLong(1) === 999L && mm.getLong(2) === 1000L)
+    assert(spark.read.parquet(s"$tmp/terms").count() > 0)
+    assert(spark.read.parquet(s"$tmp/postings").count() > 0)
+    val lineage = spark.read.parquet(s"$tmp/lineage")
+    assert(lineage.count() === 8L)
+  }
+
+  test("head term is split across all buckets (skew handling)") {
+    import org.apache.spark.sql.functions._
+    val buckets = spark.read.parquet(s"$tmp/postings")
+      .filter(col("term") === "the")
+      .select("bucket").distinct().count()
+    assert(buckets === 8L, "head term must appear in every bucket — no single-task posting list")
+  }
+
+  test("WAND top-k is rank-identical to exhaustive oracle (docIds + scores)") {
+    val k = 10
+    val wand = QueryEngine.topK(spark, tmp, queries, k).collect()
+      .groupBy(_.queryId).view.mapValues(_.sortBy(_.rank)).toMap
+    val oracle = ExhaustiveScorer.topKFromPages(spark, pages, queries, k, numBuckets = 8)
+      .collect().groupBy(_.queryId).view.mapValues(_.sortBy(_.rank)).toMap
+
+    queries.foreach { case (qid, qtext) =>
+      val w = wand.getOrElse(qid, Array.empty[ScoredDoc])
+      val o = oracle.getOrElse(qid, Array.empty[ScoredDoc])
+      assert(w.length === o.length, s"$qid ('$qtext'): result sizes differ")
+      w.zip(o).foreach { case (wr, or) =>
+        assert(wr.docId === or.docId, s"$qid rank ${wr.rank}: docId ${wr.docId} vs ${or.docId}")
+        assert(wr.score === or.score, s"$qid rank ${wr.rank} doc ${wr.docId}: score ${wr.score} vs ${or.score} (must be bit-identical)")
+      }
+    }
+  }
+
+  test("absent term returns empty; mixed query ignores absent term") {
+    val res = QueryEngine.topK(spark, tmp, queries, 10).collect()
+    assert(!res.exists(_.queryId == "q_absent"))
+    assert(res.count(_.queryId == "q_mixed") > 0)
+  }
+
+  test("rebuild is deterministic: same docIds, same stats") {
+    val tmp2 = Files.createTempDirectory("graftidx2").toString
+    // different input partitioning must not change any output
+    val pages2 = Corpus.syntheticDS(spark, 1000, seed = 42L, parts = 3)
+    val r2 = IndexBuilder.build(spark, pages2, tmp2, IndexBuilder.Config(numBuckets = 8))
+    assert(r2.stats === result.stats)
+    val d1 = spark.read.parquet(s"$tmp/docs").select("docId", "url", "doclen")
+    val d2 = spark.read.parquet(s"$tmp2/docs").select("docId", "url", "doclen")
+    assert(d1.except(d2).count() === 0 && d2.except(d1).count() === 0)
+  }
+}
