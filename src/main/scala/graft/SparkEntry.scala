@@ -30,7 +30,7 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => {
       val dl = TextOps.doclens(TextOps.documents(s, d))
       dl.agg(count(lit(1)).as("n_docs"), sum("doclen").as("total_tokens"),
-        round(sum("doclen").cast("double") / count(lit(1)).cast("double"), 4).as("avgdl"))
+        round(sum("doclen").cast("double") / count(lit(1)).cast("double") + lit(1.0e-9), 4).as("avgdl"))
     }),
     "q_term_df" -> ((s, d) =>
       TextOps.tokens(TextOps.documents(s, d))
@@ -85,9 +85,9 @@ object SparkEntry {
     "q_lang_quality" -> ((s, d) =>
       TextOps.qualityFeatures(TextOps.documents(s, d))
         .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
-          round(col("mean_tok_len"), 4).as("mean_tok_len"),
-          round(col("stop_ratio"), 4).as("stop_ratio"),
-          round(col("punct_ratio"), 4).as("punct_ratio"), col("quality"))
+          round(col("mean_tok_len") + lit(1.0e-9), 4).as("mean_tok_len"),
+          round(col("stop_ratio") + lit(1.0e-9), 4).as("stop_ratio"),
+          round(col("punct_ratio") + lit(1.0e-9), 4).as("punct_ratio"), col("quality"))
         .orderBy("doc_id")),
     "q_token_counts" -> ((s, d) =>
       TextOps.tokenCounts(TextOps.documents(s, d)).orderBy("doc_id")),
@@ -156,7 +156,7 @@ object SparkEntry {
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,
-         |       round(sum(doclen)::DOUBLE / count(*)::DOUBLE, 4) AS avgdl FROM dl""".stripMargin,
+         |       round(sum(doclen)::DOUBLE / count(*)::DOUBLE + 1.0e-9, 4) AS avgdl FROM dl""".stripMargin,
     "q_term_df" ->
       s"""WITH $TOK
          |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,
@@ -186,7 +186,7 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_relate_2hop" ->
-      """SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+      """SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal) + 1.0e-9, 4) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_tombstone_anti" ->
@@ -219,9 +219,9 @@ object SparkEntry {
          |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT id_a, id_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
-         |       round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE, 4) AS jaccard
+         |       round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE + 1.0e-9, 4) AS jaccard
          |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE, 4) >= 0.1
+         |WHERE round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE + 1.0e-9, 4) >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_lsh" -> minhashSql,
 
@@ -251,9 +251,9 @@ object SparkEntry {
          |base AS (SELECT doc_id,
          |    (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE AS punct_ratio
          |  FROM documents)
-         |SELECT b.doc_id, n_tokens, round(mean_tok_len, 4) AS mean_tok_len, round(stop_ratio, 4) AS stop_ratio,
-         |       round(punct_ratio, 4) AS punct_ratio,
-         |       round(least(n_tokens / 64.0, 1.0) * 0.4 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3 + least(stop_ratio * 5.0, 1.0) * 0.3, 4) AS quality
+         |SELECT b.doc_id, n_tokens, round(mean_tok_len + 1.0e-9, 4) AS mean_tok_len, round(stop_ratio + 1.0e-9, 4) AS stop_ratio,
+         |       round(punct_ratio + 1.0e-9, 4) AS punct_ratio,
+         |       round(least(n_tokens / 64.0, 1.0) * 0.4 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3 + least(stop_ratio * 5.0, 1.0) * 0.3 + 1.0e-9, 4) AS quality
          |FROM base b JOIN tokagg t ON b.doc_id = t.doc_id ORDER BY b.doc_id""".stripMargin
     },
     "q_token_counts" ->

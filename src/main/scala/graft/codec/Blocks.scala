@@ -42,7 +42,7 @@ object Blocks {
         lastDocId = slice(len - 1),
         count = len,
         maxPartial = maxP,
-        docBytes = VarByte.encodeDeltas(slice, slice(0)),
+        docBytes = encodeGaps(slice),
         tfBytes = VarByte.encodeInts(tfSlice),
         dlBytes = VarByte.encodeInts(java.util.Arrays.copyOfRange(doclens, off, off + len))
       )
@@ -51,8 +51,39 @@ object Blocks {
     out.toSeq
   }
 
-  def decodeDocIds(b: PostingBlock): Array[Long] =
-    VarByte.decodeDeltas(b.docBytes, b.firstDocId, b.count)
+  /** docId gaps: tagged payload — whichever of varbyte / PForDelta is
+    * smaller for this block (tag 0 = varbyte, 1 = PFor). Head terms' dense
+    * gaps compress to ~1-2 bits/posting under PFor.
+    */
+  private def encodeGaps(sorted: Array[Long]): Array[Byte] = {
+    val gaps = new Array[Long](sorted.length)
+    var prev = sorted(0)
+    gaps(0) = 0L
+    var i = 1
+    while (i < sorted.length) { gaps(i) = sorted(i) - prev; prev = sorted(i); i += 1 }
+    val vb = VarByte.encodeDeltas(sorted, sorted(0))
+    val pf = PFor.encode(gaps)
+    val (tag, payload) = if (pf.length < vb.length) (1, pf) else (0, vb)
+    val outArr = new Array[Byte](payload.length + 1)
+    outArr(0) = tag.toByte
+    System.arraycopy(payload, 0, outArr, 1, payload.length)
+    outArr
+  }
+
+  def decodeDocIds(b: PostingBlock): Array[Long] = {
+    val payload = java.util.Arrays.copyOfRange(b.docBytes, 1, b.docBytes.length)
+    (b.docBytes(0): Int) match {
+      case 0 => VarByte.decodeDeltas(payload, b.firstDocId, b.count)
+      case 1 =>
+        val gaps = PFor.decode(payload, b.count)
+        val out = new Array[Long](b.count)
+        var acc = b.firstDocId
+        var i = 0
+        while (i < b.count) { acc += gaps(i); out(i) = acc; i += 1 }
+        out
+      case t => throw new IllegalStateException(s"unknown doc codec tag $t")
+    }
+  }
 
   def decodeTfs(b: PostingBlock): Array[Int] =
     VarByte.decodeInts(b.tfBytes, b.count)

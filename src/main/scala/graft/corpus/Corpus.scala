@@ -27,35 +27,46 @@ object Corpus {
     (for (r <- roots; s <- Array("", "s", "er", "ing", "ed")) yield r + s)
   }
 
-  /** Zipf(1.1)-ish sampling over head terms + per-doc rare terms so head-term
-    * skew and df=1 long tails are both exercised (FIXTURES.md §2).
+  /** One deterministic page as a pure function of (seed, i) — partitioning
+    * and generation order never affect content, so the same corpus can be
+    * built sequentially (tests) or distributed (bench) byte-identically.
+    * Zipf(1.1)-ish head terms + per-doc rare terms exercise head-term skew
+    * and df=1 long tails (FIXTURES.md §2).
     */
-  def synthetic(nDocs: Int, seed: Long = 42L, nSites: Int = 10): Seq[PageDoc] = {
-    val rnd = new scala.util.Random(seed)
-    (0 until nDocs).map { i =>
-      val len = 8 + rnd.nextInt(505) // [8, 512] tokens
-      val sb  = new StringBuilder
-      var t   = 0
-      while (t < len) {
-        val u = rnd.nextDouble()
-        val w =
-          if (u < 0.45) vocabHead(zipfIdx(rnd, vocabHead.length))
-          else if (u < 0.97) vocabBody(rnd.nextInt(vocabBody.length))
-          else s"rare${i}x${rnd.nextInt(4)}" // per-doc rare terms (df≈1)
-        if (t > 0) sb.append(' ')
-        sb.append(w)
-        t += 1
-      }
-      val text = sb.toString
-      val site = i % nSites
-      PageDoc(
-        url = s"https://example.org/site$site/page$i",
-        warc_ts = new Timestamp((EpochBase + i) * 1000L),
-        html = ("<html><body>" + text + "</body></html>").getBytes(StandardCharsets.UTF_8),
-        text = text,
-        lang = if (i % 10 != 0) "en" else Seq("de", "fr", "zh")(i / 10 % 3)
-      )
+  def syntheticPage(i: Long, seed: Long, nSites: Int = 10): PageDoc = {
+    val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+    val len = 8 + rnd.nextInt(505) // [8, 512] tokens
+    val sb  = new StringBuilder
+    var t   = 0
+    while (t < len) {
+      val u = rnd.nextDouble()
+      val w =
+        if (u < 0.45) vocabHead(zipfIdx(rnd, vocabHead.length))
+        else if (u < 0.97) vocabBody(rnd.nextInt(vocabBody.length))
+        else s"rare${i}x${rnd.nextInt(4)}" // per-doc rare terms (df≈1)
+      if (t > 0) sb.append(' ')
+      sb.append(w)
+      t += 1
     }
+    val text = sb.toString
+    val site = i % nSites
+    PageDoc(
+      url = s"https://example.org/site$site/page$i",
+      warc_ts = new Timestamp((EpochBase + i) * 1000L),
+      html = ("<html><body>" + text + "</body></html>").getBytes(StandardCharsets.UTF_8),
+      text = text,
+      lang = if (i % 10 != 0) "en" else Seq("de", "fr", "zh")((i / 10 % 3).toInt)
+    )
+  }
+
+  def synthetic(nDocs: Int, seed: Long = 42L, nSites: Int = 10): Seq[PageDoc] =
+    (0L until nDocs.toLong).map(syntheticPage(_, seed, nSites))
+
+  /** Distributed generation of the same corpus (bench-scale). */
+  def syntheticDistributed(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+      parts: Int = 32): Dataset[PageDoc] = {
+    import spark.implicits._
+    spark.range(0L, nDocs, 1L, parts).map(i => syntheticPage(i, seed))
   }
 
   private def zipfIdx(rnd: scala.util.Random, n: Int): Int = {

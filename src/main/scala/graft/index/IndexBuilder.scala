@@ -24,42 +24,63 @@ import java.sql.Timestamp
   * order-preserving — SURVEY.md §7.4.2). No single task ever materializes a
   * full head-term posting list, at any scale.
   *
-  * Shuffle budget (the whole build):
-  *   1. hash-by-url dedup (last-writer-wins by version, reference analog
-  *      `monstache.go:4053-4063`);
-  *   2. docId-range assignment (repartition by hash-range id);
-  *   3. term-stats aggregate (partial+final hash agg, map-side combined);
-  *   4. repartition postings by bucket + in-partition sort (term, docId).
-  * All four shuffle keys are either near-uniform hashes or bounded ranges —
-  * no skewed key ever becomes a hot partition.
+  * Build phases (each resumable, reference flush-then-save ordering
+  * `monstache.go:4939-4940`):
+  *   1. docs: dedup by url version → deterministic docIds → docs table;
+  *   2. stats: N/avgdl via Catalyst aggregates over the docs table;
+  *   3. postings: per checkpoint-group, tokenize → shuffle by bucket →
+  *      in-partition sort (term, docId) → streaming block compression →
+  *      per-bucket dynamic-partition overwrite → lineage rows appended
+  *      AFTER the group's data is visible;
+  *   4. terms: global term dictionary aggregated from the compact postings
+  *      (never from raw tokens — no second raw-token shuffle).
+  *
+  * Shuffle budget: url-hash dedup, rangeId repartition (docId assignment),
+  * bucket repartition + sort, terms agg over compressed rows. All keys
+  * near-uniform; no skewed key ever becomes a hot partition.
   */
 object IndexBuilder {
 
-  /** Number of hash ranges used for deterministic dense docId assignment.
-    * Counts per range are collected to the driver (4096 longs) — scales to
-    * any corpus size since only the *counts* travel.
+  /** Hash ranges for deterministic dense docId assignment (only per-range
+    * *counts* ever reach the driver → scales to any corpus).
     */
   val IdRanges = 4096
 
   final case class Config(
       numBuckets: Int = 32,
       snapshotId: Long = 1L,
-      parquetCodec: String = "zstd"
+      parquetCodec: String = "zstd",
+      /** posting build is committed (data + lineage) in this many
+        * independently-resumable groups of buckets
+        */
+      checkpointGroups: Int = 1,
+      /** resume: skip buckets whose lineage rows exist for snapshotId */
+      resume: Boolean = false,
+      /** test-only crash injection: throw after group g's lineage commit */
+      failAfterGroup: Int = -1
   )
 
-  final case class BuildResult(
-      stats: CorpusStats,
-      numBuckets: Int,
-      indexDir: String
-  )
+  final case class BuildResult(stats: CorpusStats, numBuckets: Int, indexDir: String)
+
+  /** Phase timing to stderr when GRAFT_PROF is set (metrics analog of the
+    * reference's stats logging, `monstache.go:3510-3527`).
+    */
+  private def phase[A](name: String)(f: => A): A = {
+    if (sys.env.contains("GRAFT_PROF")) {
+      val t0 = System.nanoTime()
+      val a = f
+      System.err.println(f"BUILD-PHASE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    } else f
+  }
 
   // ---------------------------------------------------------------- docId
 
-  /** Dense deterministic docId assignment, scalable two-pass:
-    * pass 1 counts docs per hash range (tiny driver collect), pass 2 ranks
-    * within ranges using broadcast offsets. Deterministic regardless of
-    * input partitioning (never `monotonically_increasing_id`, SURVEY.md
-    * §7.4.4): docId = rank of (xxhash64(url), url) ascending.
+  /** Dense deterministic docId assignment, scalable two-pass: pass 1 counts
+    * docs per hash range (tiny driver collect), pass 2 ranks within ranges
+    * using broadcast offsets. Deterministic regardless of input partitioning
+    * (never `monotonically_increasing_id`, SURVEY.md §7.4.4):
+    * docId = rank of (xxhash64(url), url) ascending.
     */
   def assignDocIds(spark: SparkSession, deduped: DataFrame, numBuckets: Int): Dataset[(Long, Int, String, Long, String)] = {
     import spark.implicits._
@@ -105,13 +126,9 @@ object IndexBuilder {
 
   // ---------------------------------------------------------------- build
 
-  /** Full build. `pages` is the canonical page table; text extraction has
-    * already populated `text` (the byte-identity invariant is tested
-    * separately against `html`).
-    */
   def build(spark: SparkSession, pages: Dataset[PageDoc], indexDir: String, cfg: Config = Config()): BuildResult = {
-    // 1. version = packed timestamp (reference tsVersion `(t<<32)|i`,
-    //    monstache.go:4053-4063); last-writer-wins dedup per url (W1/X2).
+    // version = packed timestamp (reference tsVersion `(t<<32)|i`,
+    // monstache.go:4053-4063); last-writer-wins dedup per url (W1/X2).
     val versioned = pages.toDF()
       .withColumn("version", shiftleft(unix_timestamp(col("warc_ts")), 32))
     val byUrl = Window.partitionBy(col("url")).orderBy(col("version").desc)
@@ -119,8 +136,6 @@ object IndexBuilder {
       .withColumn("rn", row_number().over(byUrl))
       .filter(col("rn") === 1)
       .select("url", "version", "text")
-
-    // 2. deterministic dense docIds + buckets
     val assigned = assignDocIds(spark, deduped, cfg.numBuckets)
       .toDF("docId", "bucket", "url", "version", "text")
     buildFromAssigned(spark, assigned, indexDir, cfg)
@@ -135,96 +150,148 @@ object IndexBuilder {
     import spark.implicits._
     val assigned = assignedIn.select("docId", "bucket", "url", "version", "text").cache()
 
-    // 3. docs table (docId, bucket, url, doclen, version)
-    val docs = assigned
+    val doneBuckets: Set[Int] = phase("read-lineage") {
+      if (cfg.resume && exists(spark, s"$indexDir/lineage"))
+        spark.read.parquet(s"$indexDir/lineage")
+          .filter(col("snapshotId") === cfg.snapshotId)
+          .select("partitionId").as[Int].collect().toSet
+      else Set.empty
+    }
+
+    // ---- phase 1: docs table (skipped buckets already on disk) ----
+    val docsTodo = assigned
+      .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
       .as[(Long, Int, String, Long, String)]
       .map { case (docId, bucket, url, version, text) =>
         IndexedDoc(docId, bucket, url, TextPrep.doclen(text), version)
       }
-    docs.toDF()
+    phase("docs-write") { docsTodo.toDF()
+      .withColumn("dbucket", col("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "docId")
       .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dbucket")
       .option("compression", cfg.parquetCodec)
-      .parquet(s"$indexDir/docs")
+      .parquet(s"$indexDir/docs") }
 
+    // ---- phase 2: corpus stats (over the full on-disk docs table);
+    // avgdl as an explicit sum/count double division so oracles reproduce
+    // it bit-exactly ----
     val docsR = spark.read.parquet(s"$indexDir/docs")
-
-    // 4. corpus stats via Catalyst aggregates; avgdl as an explicit
-    //    sum/count double division so the oracle reproduces it bit-exactly.
-    val st = docsR.agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head()
+    val st = phase("stats")(docsR.agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head())
     val n = st.getLong(0)
     val totalTokens = st.getLong(1)
     val avgdl = totalTokens.toDouble / n.toDouble
     val stats = CorpusStats(n, avgdl, totalTokens, cfg.snapshotId)
-
-    // 5. postings: per-doc tf computed inside the flatMap (map-side
-    //    pre-aggregation — the shuffle carries (term, docId, tf), never raw
-    //    token streams).
-    val postings = assigned
-      .as[(Long, Int, String, Long, String)]
-      .flatMap { case (docId, bucket, _, _, text) =>
-        val tfs = TextPrep.termFreqs(text)
-        val dl = tfs.map(_._2).sum
-        tfs.iterator.map { case (term, tf) => Posting(bucket, term, docId, tf, dl) }
-      }
-
-    // 6. global term dictionary: df, cf, global max partial (WAND term upper
-    //    bound). Two-phase hash agg — Spark map-side combines automatically.
-    postings
-      .groupBy("term")
-      .agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("cf"),
-        max(bm25PartialCol(col("tf"), col("doclen"), avgdl)).as("maxPartial")
-      )
-      .repartitionByRange(math.max(1, cfg.numBuckets / 4), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", cfg.parquetCodec)
-      .parquet(s"$indexDir/terms")
-
-    // 7. posting blocks: one shuffle by bucket, in-partition sort by
-    //    (term, docId), then streaming block compression per (bucket, term).
-    //    Spill-safe: the external sorter owns the sort; the block writer
-    //    only ever buffers one term-run of one bucket.
-    val blocksDF = postings
-      .repartition(cfg.numBuckets, col("bucket"))
-      .sortWithinPartitions("bucket", "term", "docId")
-      .as[Posting]
-      .mapPartitions(it => blockify(it, avgdl))
-    blocksDF.toDF()
-      .withColumn("pbucket", col("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("pbucket")
-      .option("compression", cfg.parquetCodec)
-      .parquet(s"$indexDir/postings")
-
-    // 8. stats + lineage — written strictly AFTER data (flush-then-save
-    //    ordering, reference `monstache.go:4939-4940`).
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
 
-    val postR = spark.read.parquet(s"$indexDir/postings")
+    // ---- phase 3: posting blocks, committed per checkpoint group;
+    // lineage appended strictly AFTER the group's data is visible ----
+    val groups = math.max(1, cfg.checkpointGroups)
+    for (g <- 0 until groups) {
+      val todo = assigned
+        .filter(pmod(col("bucket"), lit(groups)) === g)
+        .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
+      val postings = todo
+        .as[(Long, Int, String, Long, String)]
+        .flatMap { case (docId, bucket, _, _, text) =>
+          // per-doc tf computed here: the shuffle carries (term, docId, tf),
+          // never raw token streams (map-side pre-aggregation)
+          val tfs = TextPrep.termFreqs(text)
+          val dl = tfs.map(_._2).sum
+          tfs.iterator.map { case (term, tf) => Posting(bucket, term, docId, tf, dl) }
+        }
+      phase(s"postings-group-$g")(writePostingsSegment(spark, postings, s"$indexDir/postings", avgdl,
+        append = false, codec = cfg.parquetCodec))
+
+      phase(s"lineage-group-$g")(writeLineage(spark, indexDir, cfg,
+        bucketFilter = pmod(col("bucket"), lit(groups)) === g &&
+          !col("bucket").isin(doneBuckets.toSeq: _*)))
+
+      if (cfg.failAfterGroup == g)
+        throw new RuntimeException(s"injected crash after group $g (test hook)")
+    }
+
+    // ---- phase 4: global term dictionary from the compact postings ----
+    phase("terms")(writeTermsFromPostings(spark, indexDir, cfg.parquetCodec))
+
+    // ---- snapshot commit: written LAST (the Iceberg-shaped commit point,
+    // SURVEY.md §7.0) — a reader pins the snapshot row, everything above is
+    // invisible until this lands ----
+    commitSnapshot(spark, indexDir, cfg.snapshotId, stats.n)
+
+    assigned.unpersist()
+    BuildResult(stats, cfg.numBuckets, indexDir)
+  }
+
+  /** Append a snapshot row (snapshotId, rowCount, ts) — the commit marker. */
+  def commitSnapshot(spark: SparkSession, indexDir: String, snapshotId: Long, rowCount: Long): Unit = {
+    import spark.implicits._
+    Seq((snapshotId, rowCount, new Timestamp(System.currentTimeMillis())))
+      .toDF("snapshotId", "rowCount", "ts")
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/snapshots")
+  }
+
+  /** Shuffle-by-bucket + in-partition sort + streaming block compression —
+    * shared by the batch build, streaming append, and compaction.
+    */
+  def writePostingsSegment(spark: SparkSession, postings: Dataset[Posting], path: String,
+      avgdl: Double, append: Boolean, codec: String = "zstd"): Unit = {
+    val blocksDF = postings
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "term", "docId")
+      .mapPartitions(it => blockify(it, avgdl))(
+        org.apache.spark.sql.Encoders.product[TermPostings])
+    blocksDF.toDF()
+      .withColumn("pbucket", col("bucket"))
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket")
+      .option("compression", codec)
+      .parquet(path)
+  }
+
+  /** Global term dictionary aggregated from compact postings rows. */
+  def writeTermsFromPostings(spark: SparkSession, indexDir: String, codec: String = "zstd"): Unit = {
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxPartial").as("maxPartial"))
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", codec)
+      .parquet(s"$indexDir/terms")
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Lineage rows for the buckets matching `bucketFilter`, appended after
+    * their postings are durable (`BASELINE.json` north_star: partition id,
+    * doc range, posting bytes, term count).
+    */
+  private def writeLineage(spark: SparkSession, indexDir: String, cfg: Config,
+      bucketFilter: org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
+    val postR = spark.read.parquet(s"$indexDir/postings").filter(bucketFilter)
     val now = new Timestamp(System.currentTimeMillis())
+    val byteLen = expr("aggregate(blocks, 0L, (acc, b) -> acc + length(b.docBytes) + length(b.tfBytes) + length(b.dlBytes))")
     val lineage = postR
-      .select(col("bucket"),
-        explode(col("blocks")).as("b"))
-      .select(col("bucket"), col("b.firstDocId"), col("b.lastDocId"),
-        (length(col("b.docBytes")) + length(col("b.tfBytes")) + length(col("b.dlBytes"))).cast("long").as("bytes"))
+      .select(col("bucket"), col("term"),
+        expr("aggregate(blocks, cast(null as bigint), (acc, b) -> least(coalesce(acc, b.firstDocId), b.firstDocId))").as("minDoc"),
+        expr("aggregate(blocks, cast(null as bigint), (acc, b) -> greatest(coalesce(acc, b.lastDocId), b.lastDocId))").as("maxDoc"),
+        byteLen.as("bytes"))
       .groupBy("bucket")
-      .agg(min("firstDocId").as("docIdMin"), max("lastDocId").as("docIdMax"),
-        sum("bytes").as("postingBytes"))
-      .join(
-        postR.groupBy("bucket").agg(count_distinct(col("term")).as("termCount")),
-        Seq("bucket"))
+      .agg(min("minDoc").as("docIdMin"), max("maxDoc").as("docIdMax"),
+        sum("bytes").as("postingBytes"), count(lit(1)).as("termCount"))
       .select(
         col("bucket").cast("int").as("partitionId"),
         col("docIdMin"), col("docIdMax"), col("postingBytes"), col("termCount"),
         lit(cfg.snapshotId).as("snapshotId"), lit(now).as("ts"))
-    lineage.as[LineageRow].write.mode(SaveMode.Overwrite).parquet(s"$indexDir/lineage")
-
-    assigned.unpersist()
-    BuildResult(stats, cfg.numBuckets, indexDir)
+    lineage.as[LineageRow].write.mode(SaveMode.Append).parquet(s"$indexDir/lineage")
   }
 
   /** BM25 partial as a Catalyst column (codegen'd — no UDF). Same frozen
@@ -235,7 +302,7 @@ object IndexBuilder {
 
   /** Consume a (bucket, term, docId)-sorted posting stream, emitting one
     * TermPostings row per (bucket, term) with compressed blocks. Bounded
-    * memory: buffers exactly one term-run.
+    * memory: buffers exactly one term-run of one bucket.
     */
   private def blockify(it: Iterator[Posting], avgdl: Double): Iterator[TermPostings] =
     new Iterator[TermPostings] {
@@ -246,12 +313,13 @@ object IndexBuilder {
         val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
         val tfs = scala.collection.mutable.ArrayBuffer.empty[Int]
         val dls = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cf = 0L
         while (buf.hasNext && buf.head.bucket == head.bucket && buf.head.term == head.term) {
           val p = buf.next()
-          docIds += p.docId; tfs += p.tf; dls += p.doclen
+          docIds += p.docId; tfs += p.tf; dls += p.doclen; cf += p.tf
         }
         val blocks = Blocks.build(docIds.toArray, tfs.toArray, dls.toArray, avgdl)
-        TermPostings(head.bucket, head.term, docIds.length.toLong,
+        TermPostings(head.bucket, head.term, docIds.length.toLong, cf,
           blocks.map(_.maxPartial).max, blocks)
       }
     }

@@ -63,6 +63,7 @@ final case class TermPostings(
     bucket: Int,
     term: String,
     df: Long,
+    cf: Long,
     maxPartial: Double,
     blocks: Seq[PostingBlock]
 )

@@ -56,7 +56,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), Seq("id_b"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
-          (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
+          (col("size_a") + col("size_b") - col("common")).cast("double") + lit(1.0e-9), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
   }

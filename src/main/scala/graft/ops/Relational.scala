@@ -63,7 +63,7 @@ object Relational {
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal") + lit(1.0e-9), 4).as("avg_bal"))
       .orderBy("r_name")
   }
 

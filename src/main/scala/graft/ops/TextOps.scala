@@ -67,7 +67,7 @@ object TextOps {
         round(
           least(col("n_tokens") / lit(64.0), lit(1.0)) * lit(0.4) +
             (lit(1.0) - least(col("punct_ratio") * lit(10.0), lit(1.0))) * lit(0.3) +
-            least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3), 4))
+            least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3) + lit(1.0e-9), 4))
   }
 
   /** Token counting: whitespace tokens + alnum tokens (BPE-ish proxy:

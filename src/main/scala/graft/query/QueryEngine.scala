@@ -56,9 +56,17 @@ object QueryEngine {
     val n = stats.n
     val avgdl = stats.avgdl
 
+    // tombstoned docs (streaming replaces awaiting compaction) never surface
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val tombSet: Set[Long] =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+        spark.read.parquet(s"$indexDir/tombstones").select("docId").as[Long].collect().toSet
+      else Set.empty
+    val tombB = spark.sparkContext.broadcast(tombSet)
+
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(allTerms: _*))
-      .select(col("bucket"), col("term"), col("df"), col("maxPartial"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"), col("blocks"))
       .as[TermPostings]
 
     val perBucket = postings
@@ -69,7 +77,7 @@ object QueryEngine {
         qTermsB.value.iterator.flatMap { case (qid, terms) =>
           val present = terms.filter(byTerm.contains)
           if (present.isEmpty) Iterator.empty
-          else wandBucket(qid, present, byTerm, ts, n, avgdl, k).iterator
+          else wandBucket(qid, present, byTerm, ts, n, avgdl, k, tombB.value).iterator
         }
       }
 
@@ -145,6 +153,74 @@ object QueryEngine {
     }
   }
 
+  /** dev profiling hook */
+  def wandBucketPublic(qid: String, terms: Seq[String], byTerm: Map[String, TermPostings],
+      tstats: Map[String, TermStats], n: Long, avgdl: Double, k: Int): Seq[ScoredDoc] =
+    wandBucket(qid, terms, byTerm, tstats, n, avgdl, k)
+
+  /** Warm query server: pins stats and the postings columns in the Spark
+    * block-manager cache and memoizes term stats, so repeated queries pay
+    * only the filter+WAND job — the serving shape of a search engine (the
+    * reference delegates this to a long-lived ES process; ours is a
+    * long-lived cached Dataset).
+    */
+  final class IndexReader(spark: SparkSession, indexDir: String) {
+    import spark.implicits._
+    val stats: CorpusStats = loadStats(spark, indexDir)
+    private val postings = spark.read.parquet(s"$indexDir/postings")
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"), col("blocks"))
+      .cache()
+    private val terms = spark.read.parquet(s"$indexDir/terms").cache()
+    private val tcache = scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
+    locally { postings.count(); terms.count() } // materialize caches
+
+    private def termStats(ts: Seq[String]): Map[String, TermStats] = {
+      val missing = ts.filterNot(tcache.contains)
+      if (missing.nonEmpty) {
+        val loaded = terms.filter(col("term").isin(missing: _*))
+          .select(col("term"), col("df"), col("cf"), col("maxPartial"))
+          .as[TermStats].collect().map(t => t.term -> t).toMap
+        missing.foreach(t => tcache.put(t, loaded.get(t)))
+      }
+      ts.flatMap(t => tcache(t).map(t -> _)).toMap
+    }
+
+    def topK(queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] = {
+      val qTerms = queries.map { case (qid, text) =>
+        qid -> TextPrep.tokenize(text).distinct.sorted
+      }
+      val allTerms = qTerms.flatMap(_._2).distinct
+      val tstats = termStats(allTerms)
+      if (allTerms.isEmpty || tstats.isEmpty) return spark.emptyDataset[ScoredDoc]
+      val qTermsB = spark.sparkContext.broadcast(qTerms)
+      val tstatsB = spark.sparkContext.broadcast(tstats)
+      val n = stats.n
+      val avgdl = stats.avgdl
+      val perBucket = postings
+        .filter(col("term").isin(allTerms: _*))
+        .as[TermPostings]
+        .groupByKey(_.bucket)
+        .flatMapGroups { (_, rows) =>
+          val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+          val ts = tstatsB.value
+          qTermsB.value.iterator.flatMap { case (qid, terms) =>
+            val present = terms.filter(byTerm.contains)
+            if (present.isEmpty) Iterator.empty
+            else wandBucket(qid, present, byTerm, ts, n, avgdl, k).iterator
+          }
+        }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("queryId")).orderBy(col("score").desc, col("docId").asc)
+      perBucket.toDF()
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("queryId"), col("rank").cast("int").as("rank"), col("docId"), col("score"))
+        .as[ScoredDoc]
+    }
+
+    def close(): Unit = { postings.unpersist(); terms.unpersist() }
+  }
+
   /** Block-max WAND over one bucket for one query. Exact top-k under
     * (score desc, docId asc). `terms` must be sorted ascending — cursor
     * index order IS the summation order.
@@ -156,7 +232,8 @@ object QueryEngine {
       tstats: Map[String, TermStats],
       n: Long,
       avgdl: Double,
-      k: Int
+      k: Int,
+      tombstones: Set[Long] = Set.empty
   ): Seq[ScoredDoc] = {
     val ordered = terms.sorted
     val cursors: Array[TermCursor] = ordered.flatMap { t =>
@@ -217,7 +294,7 @@ object QueryEngine {
                 score += c.idf * Bm25.partial(c.curTf, c.curDl, avgdl)
               si += 1
             }
-            offer(score, pivotDoc)
+            if (!tombstones.contains(pivotDoc)) offer(score, pivotDoc)
             var ai = 0
             while (ai < cursors.length) {
               val c = cursors(ai)

@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.ops.{Relational, TextOps}
+import graft.query.Bm25Sql
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: dump physical plans of the hot paths and grep-check the
+  * properties that matter at 100 TB — predicate pushdown reaching the scan,
+  * column pruning, broadcast joins on dims, TakeOrderedAndProject for
+  * top-k, whole-stage codegen coverage.
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def check(name: String, plan: String, wants: Seq[String], rejects: Seq[String] = Nil): Unit = {
+      println(s"\n===== $name =====")
+      wants.foreach { w =>
+        println(s"CHECK want '$w': " + (if (plan.contains(w)) "OK" else "MISSING"))
+      }
+      rejects.foreach { r =>
+        println(s"CHECK reject '$r': " + (if (plan.contains(r)) "PRESENT(BAD)" else "OK"))
+      }
+      if (sys.env.contains("PLAN_FULL")) println(plan)
+    }
+
+    // 1. postings scan with term filter: pushdown must reach parquet
+    val idx = graft.IndexCache.forDocuments(spark, sfDir)
+    val postingsScan = spark.read.parquet(s"$idx/postings")
+      .filter(col("term").isin("spark", "query"))
+      .select("bucket", "term", "blocks")
+    check("postings term filter", postingsScan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("PushedFilters: [In(term", "ReadSchema"),
+      rejects = Seq("PushedFilters: []"))
+
+    // 2. relate join: dimension must broadcast
+    check("relate join", Relational.relateJoin(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("BroadcastHashJoin"),
+      rejects = Seq("SortMergeJoin"))
+
+    // 3. top orders: TakeOrderedAndProject (no global sort)
+    check("top-k orders", Relational.topOrders(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("TakeOrderedAndProject"))
+
+    // 4. documents scan for token ops: column pruning to (doc_id, text)
+    check("tokens column pruning", TextOps.tokens(TextOps.documents(spark, sfDir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
+
+    // 5. bm25 oracle plan: whole-stage codegen present
+    check("bm25 sql", Bm25Sql.topK(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("WholeStageCodegen"))
+
+    // 6. ns filter pushdown into parquet scan
+    check("ns filter pushdown", Relational.namespaceFilter(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("PushedFilters: [IsNotNull(event_type)"))
+
+    spark.stop()
+  }
+}
