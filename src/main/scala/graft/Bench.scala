@@ -48,7 +48,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(1, cpusHigh / 4)
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+    // IDENTICAL job at both levels: bucket count must not vary with cpus
+    val benchBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "64").toInt
 
     // ---- stage the deterministic synthetic corpus once (shared input) ----
     val staging = Files.createTempDirectory("graft-bench-corpus").toString
@@ -68,7 +70,7 @@ object Bench {
       def once(): Double = {
         val dir = Files.createTempDirectory(s"graft-bench-idx$cpus").toString
         val (_, sec) = time {
-          IndexBuilder.build(s, pages, dir, IndexBuilder.Config(numBuckets = cpus * 2))
+          IndexBuilder.build(s, pages, dir, IndexBuilder.Config(numBuckets = benchBuckets))
         }
         sec
       }
@@ -86,7 +88,7 @@ object Bench {
     import s.implicits._
     val pages = s.read.parquet(staging).as[graft.model.PageDoc]
     val idxDir = Files.createTempDirectory("graft-bench-idx-q").toString
-    IndexBuilder.build(s, pages, idxDir, IndexBuilder.Config(numBuckets = cpusHigh * 2))
+    IndexBuilder.build(s, pages, idxDir, IndexBuilder.Config(numBuckets = benchBuckets))
     val benchQueries = Seq(
       "b1" -> "the", "b2" -> "data spark", "b3" -> "index merge stream",
       "b4" -> "the of and to in", "b5" -> "cache disk exec plan")

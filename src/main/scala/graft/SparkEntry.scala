@@ -57,6 +57,9 @@ object SparkEntry {
     "q_time_machine" -> ((s, d) => Relational.timeMachine(s, d)),
     "q_bitpack_version" -> ((s, d) => Relational.bitpackVersions(s, d)),
     "q_top_orders" -> ((s, d) => Relational.topOrders(s, d)),
+    "q_worker_partition" -> ((s, d) => Relational.workerPartition(s, d)),
+    "q_json_path" -> ((s, d) => Relational.jsonPath(s, d)),
+    "q_invalid_prune" -> ((s, d) => Relational.invalidPrune(s, d)),
 
     // ---- training-data pipeline: dedup ----
     "q_dedup_exact" -> ((s, d) =>
@@ -206,6 +209,19 @@ object SparkEntry {
     "q_top_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+
+    "q_worker_partition" ->
+      """SELECT doc_id, (cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 8)::BIGINT AS whash
+        |FROM documents
+        |WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 8 = 3
+        |ORDER BY doc_id""".stripMargin,
+    "q_json_path" ->
+      """SELECT json_extract_string(props, '$.k') AS k, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1 ORDER BY cast(k AS INT)""".stripMargin,
+    "q_invalid_prune" ->
+      """SELECT count(*)::BIGINT AS n_valid, round(sum(value), 4) AS sum_valid
+        |FROM events
+        |WHERE NOT isnan(value) AND NOT isinf(value) AND year(ts) BETWEEN 0 AND 9999""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id

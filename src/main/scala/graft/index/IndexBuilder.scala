@@ -76,20 +76,24 @@ object IndexBuilder {
 
   // ---------------------------------------------------------------- docId
 
-  /** Dense deterministic docId assignment, scalable two-pass: pass 1 counts
-    * docs per hash range (tiny driver collect), pass 2 ranks within ranges
-    * using broadcast offsets. Deterministic regardless of input partitioning
-    * (never `monotonically_increasing_id`, SURVEY.md §7.4.4):
-    * docId = rank of (xxhash64(url), url) ascending.
+  /** Dense deterministic docId assignment with fused last-writer-wins
+    * dedup. Scalable two-pass: pass 1 counts distinct urls per hash range
+    * (tiny driver collect — the shuffle carries (rangeId, url) pairs, never
+    * text), pass 2 range-partitions once, sorts (hash, url, version desc)
+    * in-partition, and in one streaming scan drops lower-version duplicates
+    * and ranks survivors with broadcast offsets. Deterministic regardless
+    * of input partitioning (never `monotonically_increasing_id`, SURVEY.md
+    * §7.4.4): docId = rank of (xxhash64(url), url) ascending over distinct
+    * urls. The dedup is free: same url → same hash range → same partition.
     */
-  def assignDocIds(spark: SparkSession, deduped: DataFrame, numBuckets: Int): Dataset[(Long, Int, String, Long, String)] = {
+  def assignDocIds(spark: SparkSession, versioned: DataFrame, numBuckets: Int): Dataset[(Long, Int, String, Long, String)] = {
     import spark.implicits._
-    val hashed = deduped
+    val hashed = versioned
       .withColumn("h", xxhash64(col("url")))
       .withColumn("rangeId", shiftrightunsigned(col("h"), 64 - 12).cast("int"))
 
     val counts: Array[(Int, Long)] = hashed
-      .groupBy("rangeId").count()
+      .groupBy("rangeId").agg(count_distinct(col("url")).as("c"))
       .as[(Int, Long)].collect().sortBy(_._1)
 
     val total = counts.map(_._2).sum
@@ -108,18 +112,23 @@ object IndexBuilder {
     hashed
       .select(col("rangeId"), col("h"), col("url"), col("version"), col("text"))
       .repartition(col("rangeId"))
-      .sortWithinPartitions(col("rangeId"), col("h"), col("url"))
+      .sortWithinPartitions(col("rangeId"), col("h"), col("url"), col("version").desc, col("text"))
       .as[(Int, Long, String, Long, String)]
       .mapPartitions { it =>
         val offs = offsetsB.value
         var curRange = -1
         var next = 0L
-        it.map { case (rangeId, _, url, version, text) =>
+        var lastUrl: String = null
+        it.flatMap { case (rangeId, _, url, version, text) =>
           if (rangeId != curRange) { curRange = rangeId; next = offs(rangeId) }
-          val docId = next
-          next += 1
-          val bucket = (docId / bucketSize).toInt
-          (docId, bucket, url, version, text)
+          if (url == lastUrl) Iterator.empty // lower-version duplicate (W1/X2)
+          else {
+            lastUrl = url
+            val docId = next
+            next += 1
+            val bucket = (docId / bucketSize).toInt
+            Iterator.single((docId, bucket, url, version, text))
+          }
         }
       }
   }
@@ -128,15 +137,12 @@ object IndexBuilder {
 
   def build(spark: SparkSession, pages: Dataset[PageDoc], indexDir: String, cfg: Config = Config()): BuildResult = {
     // version = packed timestamp (reference tsVersion `(t<<32)|i`,
-    // monstache.go:4053-4063); last-writer-wins dedup per url (W1/X2).
+    // monstache.go:4053-4063); last-writer-wins dedup per url is fused into
+    // assignDocIds' sort (W1/X2) — no separate window shuffle.
     val versioned = pages.toDF()
       .withColumn("version", shiftleft(unix_timestamp(col("warc_ts")), 32))
-    val byUrl = Window.partitionBy(col("url")).orderBy(col("version").desc)
-    val deduped = versioned
-      .withColumn("rn", row_number().over(byUrl))
-      .filter(col("rn") === 1)
       .select("url", "version", "text")
-    val assigned = assignDocIds(spark, deduped, cfg.numBuckets)
+    val assigned = assignDocIds(spark, versioned, cfg.numBuckets)
       .toDF("docId", "bucket", "url", "version", "text")
     buildFromAssigned(spark, assigned, indexDir, cfg)
   }

@@ -124,4 +124,39 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(25)
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+
+  /** F8 — worker partition filter (`monstache.go:4761-4769`): consistent
+    * hash of the doc key → keep this worker's share. Hash is md5-derived so
+    * the DuckDB oracle reproduces it bit-for-bit (Spark's xxhash64 has no
+    * DuckDB twin); in production this IS Spark's shuffle partitioning.
+    */
+  def workerPartition(spark: SparkSession, sfDir: String, workers: Int = 8, worker: Int = 3): DataFrame =
+    t(spark, sfDir, "documents")
+      .withColumn("whash",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+          lit(workers.toLong)))
+      .filter(col("whash") === worker)
+      .select(col("doc_id"), col("whash"))
+      .orderBy("doc_id")
+
+  /** P2/M1 — dot-path field extraction from the schemaless props JSON
+    * (`monstache.go:1112-1138`): get_json_object ≡ json_extract_string.
+    */
+  def jsonPath(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(col("k").cast("int"))
+
+  /** F9 — invalid-value pruning (`monstache.go:878-950`): drop NaN/±Inf
+    * values and out-of-range dates before indexing.
+    */
+  def invalidPrune(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .filter(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity &&
+        year(col("ts")).between(0, 9999))
+      .agg(count(lit(1)).as("n_valid"), round(sum("value"), 4).as("sum_valid"))
 }

@@ -58,10 +58,11 @@ object PlanCheck {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
       wants = Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
 
-    // 5. bm25 oracle plan: whole-stage codegen present
+    // 5. bm25 oracle plan: whole-stage codegen present (formatted mode
+    // marks codegen'd operators with a leading '* ')
     check("bm25 sql", Bm25Sql.topK(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
-      wants = Seq("WholeStageCodegen"))
+      wants = Seq("* HashAggregate"))
 
     // 6. ns filter pushdown into parquet scan
     check("ns filter pushdown", Relational.namespaceFilter(spark, sfDir)

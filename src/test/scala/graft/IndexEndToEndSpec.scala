@@ -76,6 +76,28 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(res.count(_.queryId == "q_mixed") > 0)
   }
 
+  test("duplicate urls: last-writer-wins by version (W1/X2)") {
+    import java.sql.Timestamp
+    val base = Corpus.synthetic(50, seed = 21L)
+    val p0 = base.head
+    val recrawl = p0.copy(
+      warc_ts = new Timestamp(p0.warc_ts.getTime + 86400000L),
+      text = "newonlytoken content here",
+      html = "<html><body>newonlytoken content here</body></html>".getBytes("UTF-8"))
+    val stale = p0.copy(text = "oldstaletoken " + p0.text,
+      html = ("<html><body>oldstaletoken " + p0.text + "</body></html>").getBytes("UTF-8"),
+      warc_ts = new Timestamp(p0.warc_ts.getTime - 86400000L))
+    val dir = java.nio.file.Files.createTempDirectory("idx-dup").toString
+    import org.apache.spark.sql.Encoders
+    val pagesDup = spark.createDataset(base ++ Seq(recrawl, stale))(Encoders.product[PageDoc])
+    val r = IndexBuilder.build(spark, pagesDup, dir, IndexBuilder.Config(numBuckets = 4))
+    assert(r.stats.n === 50L, "dedup must keep one row per url")
+    val hitsNew = QueryEngine.topK(spark, dir, Seq("q" -> "newonlytoken"), 5).collect()
+    assert(hitsNew.length === 1, "highest-version recrawl must win")
+    val hitsOld = QueryEngine.topK(spark, dir, Seq("q" -> "oldstaletoken"), 5).collect()
+    assert(hitsOld.isEmpty, "stale version must be dropped")
+  }
+
   test("rebuild is deterministic: same docIds, same stats") {
     val tmp2 = Files.createTempDirectory("graftidx2").toString
     // different input partitioning must not change any output
