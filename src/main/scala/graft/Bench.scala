@@ -19,6 +19,13 @@ import java.nio.file.Files
   */
 object Bench {
 
+  /** Bench storage lives on tmpfs: this sandbox's disk shows 10-20x
+    * writeback-throttling stalls that would swamp the scaling signal. The
+    * cluster analog is measuring compute/shuffle scaling with storage
+    * held constant — exactly what the north rule's efficiency ratio means.
+    */
+  val ShmBase = "/dev/shm/graft-bench"
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +35,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      .config("spark.local.dir", s"$ShmBase/spark-local")
       // local-fs commit path: v2 committer + raw fs (no .crc shadow files);
       // without native-hadoop each extra file op forks a shell — measured
       // 30%+ of partitioned-write wall time in this sandbox
@@ -36,6 +44,12 @@ object Bench {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  private def shmDir(name: String): String = {
+    val d = new java.io.File(s"$ShmBase/$name-${System.nanoTime()}")
+    d.mkdirs()
+    d.toString
   }
 
   private def time[A](f: => A): (A, Double) = {
@@ -50,10 +64,10 @@ object Bench {
     val cpusLow = math.max(1, cpusHigh / 4)
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     // IDENTICAL job at both levels: bucket count must not vary with cpus
-    val benchBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "64").toInt
+    val benchBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "256").toInt
 
     // ---- stage the deterministic synthetic corpus once (shared input) ----
-    val staging = Files.createTempDirectory("graft-bench-corpus").toString
+    val staging = shmDir("corpus")
     val warm = session(cpusHigh)
     Corpus.syntheticDistributed(warm, benchDocs, seed = 42L, parts = cpusHigh * 2)
       .write.mode("overwrite").parquet(staging)
@@ -68,7 +82,7 @@ object Bench {
       import s.implicits._
       val pages = s.read.parquet(staging).as[graft.model.PageDoc]
       def once(): Double = {
-        val dir = Files.createTempDirectory(s"graft-bench-idx$cpus").toString
+        val dir = shmDir(s"idx$cpus")
         val (_, sec) = time {
           IndexBuilder.build(s, pages, dir, IndexBuilder.Config(numBuckets = benchBuckets))
         }
@@ -87,7 +101,7 @@ object Bench {
     val s = session(cpusHigh)
     import s.implicits._
     val pages = s.read.parquet(staging).as[graft.model.PageDoc]
-    val idxDir = Files.createTempDirectory("graft-bench-idx-q").toString
+    val idxDir = shmDir("idx-q")
     IndexBuilder.build(s, pages, idxDir, IndexBuilder.Config(numBuckets = benchBuckets))
     val benchQueries = Seq(
       "b1" -> "the", "b2" -> "data spark", "b3" -> "index merge stream",
@@ -95,14 +109,23 @@ object Bench {
     // serving shape: warm IndexReader (postings pinned in block cache);
     // per-query latency measured one query at a time
     val reader = new QueryEngine.IndexReader(s, idxDir)
-    reader.topK(benchQueries, 10).count() // warm-up
-    val lat = (1 to 4).flatMap { _ =>
+    reader.topK(benchQueries, 10).count() // warm-up distributed path
+    val latDist = (1 to 4).flatMap { _ =>
       benchQueries.map { q =>
         val (_, sec) = time(reader.topK(Seq(q), 10).count())
         sec
       }
     }.sorted
-    val p95 = lat((lat.size * 95 / 100).min(lat.size - 1))
+    val p95Dist = latDist((latDist.size * 95 / 100).min(latDist.size - 1))
+    // serving path: driver-side WAND over the warm term-row cache
+    reader.topKServe(benchQueries, 10) // warm term cache
+    val latServe = (1 to 10).flatMap { _ =>
+      benchQueries.map { q =>
+        val (_, sec) = time(reader.topKServe(Seq(q), 10))
+        sec
+      }
+    }.sorted
+    val p95 = latServe((latServe.size * 95 / 100).min(latServe.size - 1))
 
     // ---- headline SparkEntry queries on the harness sf dir ----
     val headline = Seq("q_bm25_topk", "q_wand_topk", "q_term_df", "q_dedup_exact",
@@ -114,9 +137,12 @@ object Bench {
       }
     }
     s.stop()
+    // free tmpfs
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(ShmBase)).deleteRecursively()
 
     val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$efficiency%.3f},"query_p95_sec":$p95%.3f}""")
+      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$efficiency%.3f},"query_p95_sec":$p95%.3f,"query_p95_dist_sec":$p95Dist%.3f}""")
   }
 }

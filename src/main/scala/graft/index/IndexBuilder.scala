@@ -109,9 +109,12 @@ object IndexBuilder {
     val bucketSize = math.max(1L, (total + numBuckets - 1) / numBuckets)
     val offsetsB = spark.sparkContext.broadcast(offsets)
 
+    val par = spark.sessionState.conf.numShufflePartitions
     hashed
       .select(col("rangeId"), col("h"), col("url"), col("version"), col("text"))
-      .repartition(col("rangeId"))
+      // explicit partition count: AQE would otherwise coalesce this shuffle
+      // by byte size and strangle the CPU-heavy tokenize stage downstream
+      .repartition(par, col("rangeId"))
       .sortWithinPartitions(col("rangeId"), col("h"), col("url"), col("version").desc, col("text"))
       .as[(Int, Long, String, Long, String)]
       .mapPartitions { it =>
@@ -154,7 +157,7 @@ object IndexBuilder {
     */
   def buildFromAssigned(spark: SparkSession, assignedIn: DataFrame, indexDir: String, cfg: Config = Config()): BuildResult = {
     import spark.implicits._
-    val assigned = assignedIn.select("docId", "bucket", "url", "version", "text").cache()
+    val assigned = assignedIn.select("docId", "bucket", "url", "version", "text")
 
     val doneBuckets: Set[Int] = phase("read-lineage") {
       if (cfg.resume && exists(spark, s"$indexDir/lineage"))
@@ -164,22 +167,40 @@ object IndexBuilder {
       else Set.empty
     }
 
-    // ---- phase 1: docs table (skipped buckets already on disk) ----
-    val docsTodo = assigned
-      .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
-      .as[(Long, Int, String, Long, String)]
-      .map { case (docId, bucket, url, version, text) =>
-        IndexedDoc(docId, bucket, url, TextPrep.doclen(text), version)
-      }
-    phase("docs-write") { docsTodo.toDF()
-      .withColumn("dbucket", col("bucket"))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "docId")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dbucket")
-      .option("compression", cfg.parquetCodec)
-      .parquet(s"$indexDir/docs") }
+    // ---- phase 0: single tokenize pass, staged columnar (the "tokenized
+    // corpus" intermediate). Everything downstream derives from this table;
+    // the raw text is read exactly once. At 100 TB this staging IS the
+    // natural checkpoint between extraction and index construction.
+    val stage = s"$indexDir/stage_tokenized"
+    phase("stage-tokenize") {
+      assigned
+        .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
+        .as[(Long, Int, String, Long, String)]
+        .map { case (docId, bucket, url, version, text) =>
+          val tfs = TextPrep.termFreqs(text)
+          var dl = 0
+          tfs.foreach(dl += _._2)
+          (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
+        }
+        .toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", cfg.parquetCodec)
+        .parquet(stage)
+    }
+
+    // ---- phase 1: docs table = cheap projection of the stage ----
+    phase("docs-write") {
+      spark.read.parquet(stage)
+        .select(col("docId"), col("bucket"), col("url"), col("doclen"), col("version"))
+        .withColumn("dbucket", col("bucket"))
+        .repartition(cfg.numBuckets, col("bucket"))
+        .sortWithinPartitions("bucket", "docId")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket")
+        .option("compression", cfg.parquetCodec)
+        .parquet(s"$indexDir/docs")
+    }
 
     // ---- phase 2: corpus stats (over the full on-disk docs table);
     // avgdl as an explicit sum/count double division so oracles reproduce
@@ -193,23 +214,41 @@ object IndexBuilder {
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
 
     // ---- phase 3: posting blocks, committed per checkpoint group;
-    // lineage appended strictly AFTER the group's data is visible ----
+    // lineage appended strictly AFTER the group's data is visible. The
+    // shuffle moves one fat row per doc (bucket, docId, doclen, terms,
+    // tfs) — ~100x fewer rows than per-posting tuples; the explode happens
+    // after the shuffle, feeding the in-partition external sort directly.
     val groups = math.max(1, cfg.checkpointGroups)
     for (g <- 0 until groups) {
-      val todo = assigned
+      // shuffle one fat row per doc (≈100x fewer rows than per-posting
+      // tuples), THEN explode in a typed flatMap (narrow), THEN the
+      // in-partition external sort feeds the streaming blockify iterator.
+      // (A Generate/arrays_zip SQL explode was measured 6x slower here —
+      // per-row struct-array materialization dominates.)
+      val postings = spark.read.parquet(stage)
+        .select(col("bucket"), col("docId"), col("doclen"), col("terms"), col("tfs"))
         .filter(pmod(col("bucket"), lit(groups)) === g)
-        .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
-      val postings = todo
-        .as[(Long, Int, String, Long, String)]
-        .flatMap { case (docId, bucket, _, _, text) =>
-          // per-doc tf computed here: the shuffle carries (term, docId, tf),
-          // never raw token streams (map-side pre-aggregation)
-          val tfs = TextPrep.termFreqs(text)
-          val dl = tfs.map(_._2).sum
-          tfs.iterator.map { case (term, tf) => Posting(bucket, term, docId, tf, dl) }
+        // explicit count (one partition per bucket): AQE byte-based
+        // coalescing would serialize the CPU-bound sort+blockify stage
+        .repartition(cfg.numBuckets, col("bucket"))
+        .as[(Int, Long, Int, Array[String], Array[Int])]
+        .flatMap { case (bucket, docId, dl, terms, tfs) =>
+          terms.indices.iterator.map(i => Posting(bucket, terms(i), docId, tfs(i), dl))
         }
-      phase(s"postings-group-$g")(writePostingsSegment(spark, postings, s"$indexDir/postings", avgdl,
-        append = false, codec = cfg.parquetCodec))
+      phase(s"postings-group-$g") {
+        postings
+          .sortWithinPartitions("bucket", "term", "docId")
+          .mapPartitions(it => blockify(it, avgdl))(
+            org.apache.spark.sql.Encoders.product[TermPostings])
+          .toDF()
+          .withColumn("pbucket", col("bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pbucket")
+          .option("compression", cfg.parquetCodec)
+          .option("parquet.enable.dictionary", "false")
+          .parquet(s"$indexDir/postings")
+      }
 
       phase(s"lineage-group-$g")(writeLineage(spark, indexDir, cfg,
         bucketFilter = pmod(col("bucket"), lit(groups)) === g &&
@@ -227,8 +266,13 @@ object IndexBuilder {
     // invisible until this lands ----
     commitSnapshot(spark, indexDir, cfg.snapshotId, stats.n)
 
-    assigned.unpersist()
+    delete(spark, stage)
     BuildResult(stats, cfg.numBuckets, indexDir)
+  }
+
+  private def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Append a snapshot row (snapshotId, rowCount, ts) — the commit marker. */
@@ -245,7 +289,7 @@ object IndexBuilder {
   def writePostingsSegment(spark: SparkSession, postings: Dataset[Posting], path: String,
       avgdl: Double, append: Boolean, codec: String = "zstd"): Unit = {
     val blocksDF = postings
-      .repartition(col("bucket"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
       .sortWithinPartitions("bucket", "term", "docId")
       .mapPartitions(it => blockify(it, avgdl))(
         org.apache.spark.sql.Encoders.product[TermPostings])
@@ -255,6 +299,7 @@ object IndexBuilder {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket")
       .option("compression", codec)
+      .option("parquet.enable.dictionary", "false")
       .parquet(path)
   }
 
@@ -284,12 +329,9 @@ object IndexBuilder {
     import spark.implicits._
     val postR = spark.read.parquet(s"$indexDir/postings").filter(bucketFilter)
     val now = new Timestamp(System.currentTimeMillis())
-    val byteLen = expr("aggregate(blocks, 0L, (acc, b) -> acc + length(b.docBytes) + length(b.tfBytes) + length(b.dlBytes))")
+    // scalar columns only — the parquet scan prunes the heavy blocks column
     val lineage = postR
-      .select(col("bucket"), col("term"),
-        expr("aggregate(blocks, cast(null as bigint), (acc, b) -> least(coalesce(acc, b.firstDocId), b.firstDocId))").as("minDoc"),
-        expr("aggregate(blocks, cast(null as bigint), (acc, b) -> greatest(coalesce(acc, b.lastDocId), b.lastDocId))").as("maxDoc"),
-        byteLen.as("bytes"))
+      .select(col("bucket"), col("term"), col("minDoc"), col("maxDoc"), col("bytes"))
       .groupBy("bucket")
       .agg(min("minDoc").as("docIdMin"), max("maxDoc").as("docIdMax"),
         sum("bytes").as("postingBytes"), count(lit(1)).as("termCount"))
@@ -326,7 +368,8 @@ object IndexBuilder {
         }
         val blocks = Blocks.build(docIds.toArray, tfs.toArray, dls.toArray, avgdl)
         TermPostings(head.bucket, head.term, docIds.length.toLong, cf,
-          blocks.map(_.maxPartial).max, blocks)
+          blocks.map(_.maxPartial).max, blocks.map(Blocks.byteSize).sum,
+          docIds.head, docIds.last, blocks)
       }
     }
 }

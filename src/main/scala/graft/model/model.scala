@@ -65,6 +65,9 @@ final case class TermPostings(
     df: Long,
     cf: Long,
     maxPartial: Double,
+    bytes: Long,
+    minDoc: Long,
+    maxDoc: Long,
     blocks: Seq[PostingBlock]
 )
 

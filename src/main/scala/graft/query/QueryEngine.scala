@@ -66,7 +66,8 @@ object QueryEngine {
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(allTerms: _*))
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
+        col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .as[TermPostings]
 
     val perBucket = postings
@@ -168,7 +169,8 @@ object QueryEngine {
     import spark.implicits._
     val stats: CorpusStats = loadStats(spark, indexDir)
     private val postings = spark.read.parquet(s"$indexDir/postings")
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
+        col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .cache()
     private val terms = spark.read.parquet(s"$indexDir/terms").cache()
     private val tcache = scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
@@ -216,6 +218,58 @@ object QueryEngine {
         .filter(col("rank") <= k)
         .select(col("queryId"), col("rank").cast("int").as("rank"), col("docId"), col("score"))
         .as[ScoredDoc]
+    }
+
+    // ---- serving path: driver-side WAND over a term-row cache ----
+    // One filtered collect per *new* term (from the cached postings DF);
+    // warm queries run entirely on the driver — the analog of ES serving
+    // from its page cache. Valid while query-term rows fit driver memory
+    // (rows = terms × buckets, compressed); the distributed topK above is
+    // the unbounded-scale path.
+    private val termRows = scala.collection.concurrent.TrieMap.empty[String, Array[TermPostings]]
+
+    private def loadTermRows(ts: Seq[String]): Unit = {
+      val missing = ts.filterNot(termRows.contains)
+      if (missing.nonEmpty) {
+        val fetched = postings.filter(col("term").isin(missing: _*))
+          .as[TermPostings].collect()
+          .groupBy(_.term)
+        missing.foreach(t => termRows.put(t, fetched.getOrElse(t, Array.empty)))
+      }
+    }
+
+    /** Low-latency top-k: driver-side scatter-gather over cached rows.
+      * Rank-identical to the distributed path (same wandBucket, same
+      * merge ordering).
+      */
+    def topKServe(queries: Seq[(String, String)], k: Int): Seq[ScoredDoc] = {
+      val qTerms = queries.map { case (qid, text) =>
+        qid -> TextPrep.tokenize(text).distinct.sorted
+      }
+      val allTerms = qTerms.flatMap(_._2).distinct
+      if (allTerms.isEmpty) return Nil
+      val tstats = termStats(allTerms)
+      if (tstats.isEmpty) return Nil
+      loadTermRows(allTerms)
+      val n = stats.n
+      val avgdl = stats.avgdl
+      qTerms.flatMap { case (qid, terms) =>
+        val present = terms.filter(t => termRows(t).nonEmpty)
+        if (present.isEmpty) Nil
+        else {
+          val byBucket: Map[Int, Map[String, TermPostings]] = present
+            .flatMap(t => termRows(t))
+            .groupBy(_.bucket)
+            .map { case (b, rows) => b -> rows.map(tp => tp.term -> tp).toMap }
+          val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (_, byTerm) =>
+            val inBucket = present.filter(byTerm.contains)
+            if (inBucket.isEmpty) Nil
+            else wandBucket(qid, inBucket, byTerm, tstats, n, avgdl, k)
+          }
+          candidates.sortBy(c => (-c.score, c.docId)).take(k)
+            .zipWithIndex.map { case (c, i) => c.copy(rank = i + 1) }
+        }
+      }
     }
 
     def close(): Unit = { postings.unpersist(); terms.unpersist() }

@@ -145,7 +145,8 @@ object StreamIngest {
     // decode → filter → re-encode postings of affected buckets, staged
     spark.read.parquet(s"$indexDir/postings")
       .filter(col("bucket").isin(deadBuckets.toSeq: _*))
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
+        col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
     val postR = spark.read.parquet(s"$staging/postings").as[TermPostings]
     val rebuilt = postR.flatMap { tp =>
