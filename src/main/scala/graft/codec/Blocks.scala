@@ -1,11 +1,13 @@
 package graft.codec
 
-import graft.model.{Bm25, PostingBlock}
+import graft.model.PostingBlock
 import scala.collection.mutable.ArrayBuffer
 
 /** Posting-block layout: fixed-size blocks of delta+varbyte docIds +
-  * varbyte tfs, each carrying `maxPartial` (block-max metadata for WAND,
-  * `BASELINE.json` north_star).
+  * varbyte tfs, each carrying (maxTf, minDl) — avgdl-independent block-max
+  * metadata for WAND (`BASELINE.json` north_star). The score bound is
+  * derived at query time with the live avgdl, so streaming appends that
+  * shift corpus stats can never stale the stored bounds.
   */
 object Blocks {
 
@@ -20,8 +22,7 @@ object Blocks {
   def build(
       docIds: Array[Long],
       tfs: Array[Int],
-      doclens: Array[Int],
-      avgdl: Double
+      doclens: Array[Int]
   ): Seq[PostingBlock] = {
     require(docIds.length == tfs.length && tfs.length == doclens.length)
     val out = new ArrayBuffer[PostingBlock](docIds.length / BlockSize + 1)
@@ -30,18 +31,20 @@ object Blocks {
       val len     = math.min(BlockSize, docIds.length - off)
       val slice   = java.util.Arrays.copyOfRange(docIds, off, off + len)
       val tfSlice = java.util.Arrays.copyOfRange(tfs, off, off + len)
-      var maxP    = 0.0
+      var maxTf   = 0
+      var minDl   = Int.MaxValue
       var i       = 0
       while (i < len) {
-        val p = Bm25.partial(tfs(off + i), doclens(off + i), avgdl)
-        if (p > maxP) maxP = p
+        if (tfs(off + i) > maxTf) maxTf = tfs(off + i)
+        if (doclens(off + i) < minDl) minDl = doclens(off + i)
         i += 1
       }
       out += PostingBlock(
         firstDocId = slice(0),
         lastDocId = slice(len - 1),
         count = len,
-        maxPartial = maxP,
+        maxTf = maxTf,
+        minDl = minDl,
         docBytes = encodeGaps(slice),
         tfBytes = VarByte.encodeInts(tfSlice),
         dlBytes = VarByte.encodeInts(java.util.Arrays.copyOfRange(doclens, off, off + len))

@@ -204,9 +204,12 @@ object IndexBuilder {
 
     // ---- phase 2: corpus stats (over the full on-disk docs table);
     // avgdl as an explicit sum/count double division so oracles reproduce
-    // it bit-exactly ----
+    // it bit-exactly. N counts docs with doclen > 0 ONLY — the exhaustive
+    // oracle (and any SQL deriving N from a token CTE) never sees
+    // token-less docs, and idf must agree bit-for-bit ----
     val docsR = spark.read.parquet(s"$indexDir/docs")
-    val st = phase("stats")(docsR.agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head())
+    val st = phase("stats")(docsR.filter(col("doclen") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head())
     val n = st.getLong(0)
     val totalTokens = st.getLong(1)
     val avgdl = totalTokens.toDouble / n.toDouble
@@ -238,7 +241,7 @@ object IndexBuilder {
       phase(s"postings-group-$g") {
         postings
           .sortWithinPartitions("bucket", "term", "docId")
-          .mapPartitions(it => blockify(it, avgdl))(
+          .mapPartitions(blockify)(
             org.apache.spark.sql.Encoders.product[TermPostings])
           .toDF()
           .withColumn("pbucket", col("bucket"))
@@ -250,9 +253,10 @@ object IndexBuilder {
           .parquet(s"$indexDir/postings")
       }
 
-      phase(s"lineage-group-$g")(writeLineage(spark, indexDir, cfg,
+      phase(s"lineage-group-$g")(appendLineage(spark, indexDir,
         bucketFilter = pmod(col("bucket"), lit(groups)) === g &&
-          !col("bucket").isin(doneBuckets.toSeq: _*)))
+          !col("bucket").isin(doneBuckets.toSeq: _*),
+        snapshotId = cfg.snapshotId))
 
       if (cfg.failAfterGroup == g)
         throw new RuntimeException(s"injected crash after group $g (test hook)")
@@ -287,11 +291,11 @@ object IndexBuilder {
     * shared by the batch build, streaming append, and compaction.
     */
   def writePostingsSegment(spark: SparkSession, postings: Dataset[Posting], path: String,
-      avgdl: Double, append: Boolean, codec: String = "zstd"): Unit = {
+      append: Boolean, codec: String = "zstd"): Unit = {
     val blocksDF = postings
       .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
       .sortWithinPartitions("bucket", "term", "docId")
-      .mapPartitions(it => blockify(it, avgdl))(
+      .mapPartitions(blockify)(
         org.apache.spark.sql.Encoders.product[TermPostings])
     blocksDF.toDF()
       .withColumn("pbucket", col("bucket"))
@@ -307,7 +311,8 @@ object IndexBuilder {
   def writeTermsFromPostings(spark: SparkSession, indexDir: String, codec: String = "zstd"): Unit = {
     spark.read.parquet(s"$indexDir/postings")
       .groupBy("term")
-      .agg(sum("df").as("df"), sum("cf").as("cf"), max("maxPartial").as("maxPartial"))
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
       .repartitionByRange(8, col("term"))
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite)
@@ -322,10 +327,12 @@ object IndexBuilder {
 
   /** Lineage rows for the buckets matching `bucketFilter`, appended after
     * their postings are durable (`BASELINE.json` north_star: partition id,
-    * doc range, posting bytes, term count).
+    * doc range, posting bytes, term count). Used by both the batch build
+    * (per checkpoint group) and the streaming append (per batch's buckets —
+    * pass a `pbucket` filter there so the scan is partition-pruned).
     */
-  private def writeLineage(spark: SparkSession, indexDir: String, cfg: Config,
-      bucketFilter: org.apache.spark.sql.Column): Unit = {
+  def appendLineage(spark: SparkSession, indexDir: String,
+      bucketFilter: org.apache.spark.sql.Column, snapshotId: Long): Unit = {
     import spark.implicits._
     val postR = spark.read.parquet(s"$indexDir/postings").filter(bucketFilter)
     val now = new Timestamp(System.currentTimeMillis())
@@ -338,8 +345,25 @@ object IndexBuilder {
       .select(
         col("bucket").cast("int").as("partitionId"),
         col("docIdMin"), col("docIdMax"), col("postingBytes"), col("termCount"),
-        lit(cfg.snapshotId).as("snapshotId"), lit(now).as("ts"))
+        lit(snapshotId).as("snapshotId"), lit(now).as("ts"))
     lineage.as[LineageRow].write.mode(SaveMode.Append).parquet(s"$indexDir/lineage")
+  }
+
+  /** Term-dictionary SEGMENT from the postings rows matching `filter`
+    * (streaming append: only the batch's pbuckets — partition-pruned scan).
+    * Readers aggregate segments (sum df/cf, max maxTf, min minDl), so an
+    * append writes O(batch terms), never the global dictionary.
+    */
+  def appendTermsSegment(spark: SparkSession, indexDir: String,
+      filter: org.apache.spark.sql.Column, codec: String = "zstd"): Unit = {
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(filter)
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
+      .write.mode(SaveMode.Append)
+      .option("compression", codec)
+      .parquet(s"$indexDir/terms")
   }
 
   /** BM25 partial as a Catalyst column (codegen'd — no UDF). Same frozen
@@ -352,7 +376,7 @@ object IndexBuilder {
     * TermPostings row per (bucket, term) with compressed blocks. Bounded
     * memory: buffers exactly one term-run of one bucket.
     */
-  private def blockify(it: Iterator[Posting], avgdl: Double): Iterator[TermPostings] =
+  private def blockify(it: Iterator[Posting]): Iterator[TermPostings] =
     new Iterator[TermPostings] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
@@ -366,9 +390,10 @@ object IndexBuilder {
           val p = buf.next()
           docIds += p.docId; tfs += p.tf; dls += p.doclen; cf += p.tf
         }
-        val blocks = Blocks.build(docIds.toArray, tfs.toArray, dls.toArray, avgdl)
+        val blocks = Blocks.build(docIds.toArray, tfs.toArray, dls.toArray)
         TermPostings(head.bucket, head.term, docIds.length.toLong, cf,
-          blocks.map(_.maxPartial).max, blocks.map(Blocks.byteSize).sum,
+          blocks.map(_.maxTf).max, blocks.map(_.minDl).min,
+          blocks.map(Blocks.byteSize).sum,
           docIds.head, docIds.last, blocks)
       }
     }

@@ -39,15 +39,20 @@ final case class Posting(bucket: Int, term: String, docId: Long, tf: Int, doclen
   * tfBytes: varbyte-encoded term frequencies.
   * dlBytes: varbyte-encoded doclens (so scoring is self-contained — the
   *   query path never joins a doclen table).
-  * maxPartial: max over the block of the BM25 term partial
-  *   tf*(k1+1)/(tf + k1*(1-b+b*doclen/avgdl)) — multiplied by idf(term) at
-  *   query time this is the block-max WAND upper bound.
+  * maxTf/minDl: block-max metadata stored avgdl-INDEPENDENTLY. The WAND
+  *   upper bound is derived at query time as
+  *   `idf * Bm25.partial(maxTf, minDl, currentAvgdl)` — `partial` is
+  *   monotone increasing in tf and decreasing in doclen, so the bound is
+  *   valid for every posting in the block under ANY corpus avgdl. This is
+  *   what keeps bounds correct when streaming appends / compaction shift
+  *   avgdl after blocks were written (a stored max-partial would go stale).
   */
 final case class PostingBlock(
     firstDocId: Long,
     lastDocId: Long,
     count: Int,
-    maxPartial: Double,
+    maxTf: Int,
+    minDl: Int,
     docBytes: Array[Byte],
     tfBytes: Array[Byte],
     dlBytes: Array[Byte]
@@ -64,15 +69,18 @@ final case class TermPostings(
     term: String,
     df: Long,
     cf: Long,
-    maxPartial: Double,
+    maxTf: Int,
+    minDl: Int,
     bytes: Long,
     minDoc: Long,
     maxDoc: Long,
     blocks: Seq[PostingBlock]
 )
 
-/** Global per-term statistics (term dictionary). */
-final case class TermStats(term: String, df: Long, cf: Long, maxPartial: Double)
+/** Global per-term statistics (term dictionary). maxTf/minDl carry the
+  * avgdl-independent score-bound inputs (see PostingBlock).
+  */
+final case class TermStats(term: String, df: Long, cf: Long, maxTf: Int, minDl: Int)
 
 /** Global corpus statistics, versioned by snapshot so queries pin a
   * consistent view (SURVEY.md §7.4.5).

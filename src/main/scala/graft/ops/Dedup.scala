@@ -21,12 +21,17 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
 
-  /** Token n-gram shingles, distinct per doc. */
+  /** Token n-gram shingles, distinct per doc. Docs with fewer than n tokens
+    * contribute nothing — the guard runs BEFORE the index sequence is built
+    * (sequence(0, size-n) with size < n would produce a descending range and
+    * slice() would throw at runtime on short/symbol-only docs).
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = col("toks")
     docs
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .filter(size(toks) >= n)
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
@@ -107,11 +112,11 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature; bit j = sign of Σ_terms tf · (±1 per bit of
-    * h(term)). Near-dups = signatures within `maxHamming`. Implemented with
-    * typed mapPartitions over per-doc term vectors (bit-twiddling does not
-    * belong in Catalyst); candidate generation by 4-way band blocking over
-    * the 64-bit signature (docs within Hamming distance 3 share at least
-    * one of 4 16-bit bands — pigeonhole).
+    * h(term)). Near-dups = signatures within `maxHamming`. The term hash is
+    * the first 8 bytes of md5(term) (big-endian) so the DuckDB oracle
+    * reproduces signatures bit-for-bit. Implemented with typed
+    * mapPartitions over per-doc term vectors (bit-twiddling does not belong
+    * in Catalyst).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -119,11 +124,12 @@ object Dedup {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as(Encoders.product[(Long, String)])
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (docId, text) =>
           val tfs = graft.textprep.TextPrep.termFreqs(text)
           val acc = new Array[Int](64)
           tfs.foreach { case (term, tf) =>
-            val h = xxHashString(term)
+            val h = md5Hash64(md, term)
             var j = 0
             while (j < 64) {
               if (((h >>> j) & 1L) == 1L) acc(j) += tf else acc(j) -= tf
@@ -138,33 +144,41 @@ object Dedup {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Candidate generation by `maxHamming + 1` disjoint bands over the
+    * 64-bit signature: by pigeonhole, two signatures within Hamming
+    * distance h must agree on at least one of h+1 disjoint bands — recall
+    * is COMPLETE at the configured radius (a fixed band count with a larger
+    * radius would silently miss pairs). 64 must divide evenly; supported
+    * radii: 0, 1, 3, 7, 15, 31.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"simhash banding needs (maxHamming+1) | 64, got maxHamming=$maxHamming")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val sig = simhashSignatures(docs).cache()
     val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+          shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.alias("x").join(banded.alias("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Same 64-bit string hash on both driver and executors (pure fn). */
-  private def xxHashString(s: String): Long = {
-    // FNV-1a 64 (public domain) — stable, dependency-free
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
+  /** First 8 bytes of md5(s), big-endian — identical to DuckDB's
+    * ('0x' || substr(md5(s), 1, 16))::UBIGINT bit pattern.
+    */
+  private def md5Hash64(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 }

@@ -29,16 +29,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    // rank on the UNROUNDED cosine (two cosines that round to the same 4dp
+    // value must still order by true value, like the oracle); round only in
+    // the final projection
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        round(dot(col("embedding"), col("qvec")) /
-          (norm(col("embedding")) * norm(col("qvec"))), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("qvec")) /
+          (norm(col("embedding")) * norm(col("qvec"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
   }
 
   /** IVF-bucketed ANN: C centroids = the embeddings of the C lowest vec_ids
@@ -66,12 +69,12 @@ object Similarity {
       "query_id", "qvec", nprobe)
     val scored = assigned.join(probed, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        round(dot(col("embedding"), col("qvec")) /
-          (norm(col("embedding")) * norm(col("qvec"))), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("qvec")) /
+          (norm(col("embedding")) * norm(col("qvec"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
   }
 }

@@ -31,14 +31,33 @@ object QueryEngine {
     spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
   }
 
-  /** Global term stats for just the query terms (small driver-side map). */
+  /** Global term stats for just the query terms (small driver-side map).
+    * The terms table may hold multiple segments (streaming appends write
+    * one per batch) — stats are aggregated on read, so append stays
+    * O(batch) while reads stay exact.
+    */
   def loadTermStats(spark: SparkSession, indexDir: String, terms: Seq[String]): Map[String, TermStats] = {
     import spark.implicits._
     if (terms.isEmpty) Map.empty
     else spark.read.parquet(s"$indexDir/terms")
       .filter(col("term").isin(terms.distinct: _*))
-      .select(col("term"), col("df"), col("cf"), col("maxPartial"))
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
       .as[TermStats].collect().map(t => t.term -> t).toMap
+  }
+
+  /** Tombstoned docIds (streaming replaces awaiting compaction). Collected
+    * to the driver for the cursor-level filter — bounded by compaction
+    * cadence; the relational read paths use a broadcast anti-join instead
+    * (StreamIngest.dropTombstones).
+    */
+  def loadTombstones(spark: SparkSession, indexDir: String): Set[Long] = {
+    import spark.implicits._
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+      spark.read.parquet(s"$indexDir/tombstones").select("docId").as[Long].collect().toSet
+    else Set.empty
   }
 
   /** Top-k for a batch of queries. Returns (queryId, rank, docId, score). */
@@ -57,17 +76,12 @@ object QueryEngine {
     val avgdl = stats.avgdl
 
     // tombstoned docs (streaming replaces awaiting compaction) never surface
-    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val tombSet: Set[Long] =
-      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
-        spark.read.parquet(s"$indexDir/tombstones").select("docId").as[Long].collect().toSet
-      else Set.empty
-    val tombB = spark.sparkContext.broadcast(tombSet)
+    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir))
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(allTerms: _*))
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
-        col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .as[TermPostings]
 
     val perBucket = postings
@@ -100,7 +114,8 @@ object QueryEngine {
   private final class TermCursor(
       val term: String,
       val idf: Double,
-      blocks: IndexedSeq[PostingBlock]
+      blocks: IndexedSeq[PostingBlock],
+      avgdl: Double
   ) {
     private var bi = 0
     private var docs: Array[Long] = _
@@ -122,8 +137,10 @@ object QueryEngine {
       i = 0
     }
 
-    /** Block-max upper bound of the block holding curDoc. */
-    def blockMaxScore: Double = idf * blocks(bi).maxPartial
+    /** Block-max upper bound of the block holding curDoc, derived from the
+      * stored avgdl-independent (maxTf, minDl) under the LIVE avgdl.
+      */
+    def blockMaxScore: Double = idf * Bm25.partial(blocks(bi).maxTf, blocks(bi).minDl, avgdl)
     def blockLastDoc: Long = blocks(bi).lastDocId
 
     def advance(): Unit = {
@@ -168,11 +185,19 @@ object QueryEngine {
   final class IndexReader(spark: SparkSession, indexDir: String) {
     import spark.implicits._
     val stats: CorpusStats = loadStats(spark, indexDir)
+    // tombstones pinned at reader construction (same snapshot discipline as
+    // stats): serving paths must never surface a replaced doc pre-compaction
+    private val tombstones: Set[Long] = loadTombstones(spark, indexDir)
+    private val tombB = spark.sparkContext.broadcast(tombstones)
     private val postings = spark.read.parquet(s"$indexDir/postings")
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
-        col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .cache()
-    private val terms = spark.read.parquet(s"$indexDir/terms").cache()
+    private val terms = spark.read.parquet(s"$indexDir/terms")
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
+      .cache()
     private val tcache = scala.collection.concurrent.TrieMap.empty[String, Option[TermStats]]
     locally { postings.count(); terms.count() } // materialize caches
 
@@ -180,7 +205,7 @@ object QueryEngine {
       val missing = ts.filterNot(tcache.contains)
       if (missing.nonEmpty) {
         val loaded = terms.filter(col("term").isin(missing: _*))
-          .select(col("term"), col("df"), col("cf"), col("maxPartial"))
+          .select(col("term"), col("df"), col("cf"), col("maxTf"), col("minDl"))
           .as[TermStats].collect().map(t => t.term -> t).toMap
         missing.foreach(t => tcache.put(t, loaded.get(t)))
       }
@@ -208,7 +233,7 @@ object QueryEngine {
           qTermsB.value.iterator.flatMap { case (qid, terms) =>
             val present = terms.filter(byTerm.contains)
             if (present.isEmpty) Iterator.empty
-            else wandBucket(qid, present, byTerm, ts, n, avgdl, k).iterator
+            else wandBucket(qid, present, byTerm, ts, n, avgdl, k, tombB.value).iterator
           }
         }
       val w = org.apache.spark.sql.expressions.Window
@@ -264,7 +289,7 @@ object QueryEngine {
           val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (_, byTerm) =>
             val inBucket = present.filter(byTerm.contains)
             if (inBucket.isEmpty) Nil
-            else wandBucket(qid, inBucket, byTerm, tstats, n, avgdl, k)
+            else wandBucket(qid, inBucket, byTerm, tstats, n, avgdl, k, tombstones)
           }
           candidates.sortBy(c => (-c.score, c.docId)).take(k)
             .zipWithIndex.map { case (c, i) => c.copy(rank = i + 1) }
@@ -292,13 +317,16 @@ object QueryEngine {
     val ordered = terms.sorted
     val cursors: Array[TermCursor] = ordered.flatMap { t =>
       tstats.get(t).map { st =>
-        new TermCursor(t, Bm25.idf(n, st.df), byTerm(t).blocks.toIndexedSeq)
+        new TermCursor(t, Bm25.idf(n, st.df), byTerm(t).blocks.toIndexedSeq, avgdl)
       }
     }.toArray
     if (cursors.isEmpty) return Nil
-    // term-level upper bound: idf * bucket-local maxPartial (tight + valid
-    // within this bucket)
-    val termUb: Array[Double] = cursors.map(c => c.idf * byTerm(c.term).maxPartial)
+    // term-level upper bound from the bucket-local (maxTf, minDl) under the
+    // live avgdl (tight + valid within this bucket, for any stats snapshot)
+    val termUb: Array[Double] = cursors.map { c =>
+      val tp = byTerm(c.term)
+      c.idf * Bm25.partial(tp.maxTf, tp.minDl, avgdl)
+    }
 
     // heap of current top-k; head = weakest (lowest score, then largest docId)
     val weakestFirst: Ordering[(Double, Long)] =

@@ -17,10 +17,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * higher-version re-crawls) as fresh docId ranges → fresh buckets. Bucket
   * disjointness is preserved, so appended postings rows compose with the
   * base index with zero rewrites. Replaced urls' old docIds become
-  * tombstones (reference delete strategy W3, `monstache.go:4065-4147`);
-  * corpus stats + term dictionary are re-aggregated after each batch so
-  * queries pin a consistent snapshot (SURVEY.md §7.4.5). Query-side,
-  * tombstoned docs are dropped before scoring merge.
+  * tombstones (reference delete strategy W3, `monstache.go:4065-4147`).
+  *
+  * Per-batch cost is O(batch), never O(index) — the reference's bulk path
+  * is O(batch) by construction (`monstache.go:657-670`) and so is this one:
+  *   - recrawl detection reads the url-hash-partitioned `urlmap` side table
+  *     with partition pruning + a broadcast semi-join on the batch's urls
+  *     (no shuffle of index-sized data);
+  *   - corpus stats are updated incrementally (n/totalTokens deltas);
+  *   - the term dictionary gains one SEGMENT per batch (only the batch's
+  *     terms), aggregated on read — never re-aggregated from the full
+  *     postings table;
+  *   - docId/bucket high-water marks live in a one-row `docmeta` table.
   *
   * Checkpointing: Structured Streaming's checkpoint dir handles source
   * offsets (reference resume-token strategy X4); the index itself is
@@ -29,6 +37,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the reference's exactly-once story, `monstache.go:568-571`).
   */
 object StreamIngest {
+
+  /** url-hash partition count of the `urlmap` recrawl-lookup table. */
+  val UrlRanges = 64
+
+  private def urange(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(UrlRanges.toLong)).cast("int")
 
   /** Append one batch of pages to an existing (or empty) index dir. */
   def appendBatch(spark: SparkSession, batch: Dataset[PageDoc], indexDir: String,
@@ -45,132 +59,295 @@ object StreamIngest {
 
     val docsPath = s"$indexDir/docs"
     val hasBase = exists(spark, docsPath)
-    val (maxDocId, maxBucket, existing) =
+    if (hasBase) bootstrapSideTables(spark, indexDir)
+
+    val (maxDocId, maxBucket, oldN, oldTot) =
       if (hasBase) {
-        val d = spark.read.parquet(docsPath)
-        val mm = d.agg(max("docId"), max("bucket")).head()
-        (mm.getLong(0), mm.getInt(1), d.select(col("url"), col("docId"), col("version")))
-      } else (-1L, -1, spark.emptyDataset[(String, Long, Long)].toDF("url", "docId", "version"))
+        val m = spark.read.parquet(s"$indexDir/docmeta").head()
+        val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+        (m.getLong(0), m.getInt(1), st.n, st.totalTokens)
+      } else (-1L, -1, 0L, 0L)
 
-    // new urls, or re-crawls with strictly higher version
+    // ---- recrawl detection, O(batch): partition-pruned urlmap read +
+    // broadcast semi-join on the batch's urls (the index side is never
+    // shuffled; scan touches only the batch's url-hash ranges) ----
+    val existing: DataFrame =
+      if (hasBase) {
+        val batchUrls = deduped.select(col("url")).distinct()
+        val ranges = batchUrls.select(urange(col("url")).as("r")).distinct().as[Int].collect()
+        spark.read.parquet(s"$indexDir/urlmap")
+          .filter(col("urange").isin(ranges.toSeq: _*))
+          .join(broadcast(batchUrls), Seq("url"), "left_semi")
+          // a recrawled url has multiple rows; only its latest version counts
+          .groupBy("url").agg(max(struct(col("version"), col("docId"), col("doclen"))).as("m"))
+          .select(col("url"), col("m.docId").as("docId"),
+            col("m.version").as("version"), col("m.doclen").as("doclen"))
+      } else spark.emptyDataset[(String, Long, Long, Int)]
+        .toDF("url", "docId", "version", "doclen")
+
+    // matched subset is O(batch) → broadcast right side of the left join.
+    // The batch's admission decisions are STAGED to durable storage BEFORE
+    // any index table is mutated: the lazy plans above read urlmap, and the
+    // appends below write urlmap — without the staging barrier any plan
+    // re-evaluation mid-batch would observe its own writes (lost batch).
+    val staging = s"$indexDir/_staging/batch"
+    delete(spark, staging)
     val joined = deduped.alias("n")
-      .join(existing.alias("e"), Seq("url"), "left")
+      .join(broadcast(existing.alias("e")), Seq("url"), "left")
       .filter(col("e.docId").isNull || col("n.version") > col("e.version"))
-    val fresh = joined.select(col("url"), col("n.version").as("version"), col("text"))
-    val tombstones = joined.filter(col("e.docId").isNotNull)
-      .select(col("e.docId").as("docId"), lit(snapshotId).as("snapshotId"))
+      .select(col("url"), col("n.version").as("version"), col("text"),
+        col("e.docId").as("oldDocId"), col("e.doclen").as("oldDoclen"))
+    joined.write.mode(SaveMode.Overwrite).parquet(s"$staging/admitted")
+    val admitted = spark.read.parquet(s"$staging/admitted")
+    val fresh = admitted.select("url", "version", "text")
+    val tombstones = admitted.filter(col("oldDocId").isNotNull)
+      .select(col("oldDocId").as("docId"), col("oldDoclen").as("doclen"))
 
-    if (fresh.isEmpty) return
+    if (fresh.isEmpty) { delete(spark, staging); return }
 
     // deterministic-within-batch id assignment continuing after maxDocId;
-    // fresh buckets start beyond the base index's highest bucket
-    val assigned = IndexBuilder.assignDocIds(spark, fresh, numBuckets = 1)
-      .map { case (localId, _, url, version, text) => (localId, url, version, text) }
-      .toDF("localId", "url", "version", "text")
+    // fresh buckets start beyond the base index's highest bucket. The
+    // tokenize runs ONCE here; docs/postings/stats all derive from the
+    // staged result.
+    IndexBuilder.assignDocIds(spark, fresh, numBuckets = 1)
+      .map { case (localId, _, url, version, text) =>
+        val tfs = TextPrep.termFreqs(text)
+        var dl = 0
+        tfs.foreach(dl += _._2)
+        (localId, url, version, dl, tfs.map(_._1), tfs.map(_._2))
+      }
+      .toDF("localId", "url", "version", "doclen", "terms", "tfs")
       .select(
         (col("localId") + lit(maxDocId + 1)).as("docId"),
         (lit(maxBucket + 1) + (col("localId") / lit(bucketSize)).cast("int")).as("bucket"),
-        col("url"), col("version"), col("text"))
+        col("url"), col("version"), col("doclen"), col("terms"), col("tfs"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/assigned")
+    val assigned = spark.read.parquet(s"$staging/assigned")
 
-    // docs + postings append in fresh buckets (same code path as batch build)
-    val docsNew = assigned.as[(Long, Int, String, Long, String)]
-      .map { case (docId, bucket, url, version, text) =>
-        IndexedDoc(docId, bucket, url, TextPrep.doclen(text), version)
-      }
-    docsNew.toDF()
+    // docs append in fresh buckets (same layout as the batch build)
+    assigned.select("docId", "bucket", "url", "doclen", "version")
       .withColumn("dbucket", col("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "docId")
       .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docsPath)
 
-    if (tombstones.limit(1).count() > 0)
-      tombstones.write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+    // urlmap append (partition-pruned lookups for future batches)
+    assigned.select(col("url"), col("docId"), col("version"), col("doclen"))
+      .withColumn("urange", urange(col("url")))
+      .repartition(col("urange"))
+      .write.mode(SaveMode.Append).partitionBy("urange").parquet(s"$indexDir/urlmap")
 
-    // stats over the full (appended) docs table, minus tombstones
-    val docsR = spark.read.parquet(docsPath)
-    val live = dropTombstones(spark, indexDir, docsR, "docId")
-    val st = live.agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
-    Seq(CorpusStats(n, avgdl, st.getLong(1), snapshotId)).toDS()
+    val tombAgg = tombstones.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(when(col("doclen") > 0, 1L).otherwise(0L)), lit(0L)).as("cpos"),
+      coalesce(sum("doclen").cast("long"), lit(0L)).as("tok")).head()
+    if (tombAgg.getLong(0) > 0)
+      tombstones.select(col("docId"), lit(snapshotId).as("snapshotId"))
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+
+    // ---- incremental stats: O(batch) deltas, never a full-docs rescan.
+    // N counts docs with doclen > 0 only (idf parity with the oracle).
+    val fAgg = assigned.agg(
+      coalesce(sum(when(col("doclen") > 0, 1L).otherwise(0L)), lit(0L)).as("cpos"),
+      coalesce(sum("doclen").cast("long"), lit(0L)).as("tok"),
+      max("docId").as("maxId"), max("bucket").as("maxB")).head()
+    val n = oldN + fAgg.getLong(0) - tombAgg.getLong(1)
+    val tot = oldTot + fAgg.getLong(1) - tombAgg.getLong(2)
+    Seq(CorpusStats(n, tot.toDouble / n.toDouble, tot, snapshotId)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+    writeDocMeta(spark, indexDir, fAgg.getLong(2), fAgg.getInt(3))
 
-    val postings = assigned.as[(Long, Int, String, Long, String)]
-      .flatMap { case (docId, bucket, _, _, text) =>
-        val tfs = TextPrep.termFreqs(text)
-        val dl = tfs.map(_._2).sum
-        tfs.iterator.map { case (term, tf) => Posting(bucket, term, docId, tf, dl) }
+    // postings append: only the batch's buckets
+    val postings = assigned.select("bucket", "docId", "doclen", "terms", "tfs")
+      .as[(Int, Long, Int, Array[String], Array[Int])]
+      .flatMap { case (bucket, docId, dl, terms, tfs) =>
+        terms.indices.iterator.map(i => Posting(bucket, terms(i), docId, tfs(i), dl))
       }
-    IndexBuilder.writePostingsSegment(spark, postings, s"$indexDir/postings", avgdl, append = true)
+    IndexBuilder.writePostingsSegment(spark, postings, s"$indexDir/postings", append = true)
 
-    // re-aggregate the term dictionary from compact postings, excluding
-    // tombstoned docs' contributions is deferred to compaction; df/cf here
-    // are upper bounds until compact() rewrites affected buckets.
-    IndexBuilder.writeTermsFromPostings(spark, indexDir)
+    // ---- term-dictionary SEGMENT: aggregate only the batch's buckets
+    // (partition-pruned postings read), appended; readers sum segments.
+    // df/cf of tombstoned docs remain counted until compact() — a
+    // documented upper bound, harmless to WAND admissibility.
+    val newBuckets = ((maxBucket + 1) to fAgg.getInt(3)).map(Int.box)
+    IndexBuilder.appendTermsSegment(spark, indexDir,
+      col("pbucket").isin(newBuckets: _*))
+    IndexBuilder.appendLineage(spark, indexDir,
+      col("pbucket").isin(newBuckets: _*), snapshotId)
     IndexBuilder.commitSnapshot(spark, indexDir, snapshotId, n)
+    delete(spark, staging)
+  }
+
+  /** One-time migration for indexes built before the side tables existed
+    * (or by a plain batch build): derive `urlmap` + `docmeta` from the docs
+    * table. O(index) ONCE, then every append is O(batch).
+    */
+  def bootstrapSideTables(spark: SparkSession, indexDir: String): Unit = {
+    val docsR = () => spark.read.parquet(s"$indexDir/docs")
+    if (!exists(spark, s"$indexDir/urlmap"))
+      docsR().select(col("url"), col("docId"), col("version"), col("doclen"))
+        .withColumn("urange", urange(col("url")))
+        .repartition(col("urange"))
+        .write.mode(SaveMode.Overwrite).partitionBy("urange").parquet(s"$indexDir/urlmap")
+    if (!exists(spark, s"$indexDir/docmeta")) {
+      val mm = docsR().agg(max("docId"), max("bucket")).head()
+      writeDocMeta(spark, indexDir, mm.getLong(0), mm.getInt(1))
+    }
+  }
+
+  private def writeDocMeta(spark: SparkSession, indexDir: String, maxDocId: Long, maxBucket: Int): Unit = {
+    import spark.implicits._
+    Seq((maxDocId, maxBucket)).toDF("maxDocId", "maxBucket")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docmeta")
+  }
+
+  /** W4 — delete-by-query: tombstone every doc matching a predicate over
+    * the docs table (reference `deleteByQuery`-style predicate delete); the
+    * physical reclaim happens at the next compact().
+    */
+  def deleteByQuery(spark: SparkSession, indexDir: String,
+      predicate: org.apache.spark.sql.Column, snapshotId: Long): Long = {
+    val victims = spark.read.parquet(s"$indexDir/docs")
+      .filter(predicate)
+      .select(col("docId"), lit(snapshotId).as("snapshotId"))
+    val c = victims.count()
+    if (c > 0) {
+      victims.write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
+      // stats shrink immediately so idf stays consistent with live docs
+      import spark.implicits._
+      val dead = spark.read.parquet(s"$indexDir/docs").filter(predicate)
+        .agg(sum(when(col("doclen") > 0, 1L).otherwise(0L)),
+          coalesce(sum("doclen"), lit(0L))).head()
+      val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+      val n = st.n - dead.getLong(0)
+      val tot = st.totalTokens - dead.getLong(1)
+      Seq(CorpusStats(n, tot.toDouble / math.max(1L, n).toDouble, tot, snapshotId)).toDS()
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+    }
+    c
   }
 
   /** Compaction: rewrite buckets that contain tombstoned docs, dropping
     * dead postings, then clear tombstones and re-aggregate terms + stats.
     * The merge is order-preserving because buckets are docId-range-disjoint.
+    *
+    * Cluster-safe by construction: tombstones are joined (anti-join /
+    * broadcast), never collected into an `isin` literal; staging lives
+    * under `$indexDir/_staging` (shared storage all executors see), never
+    * a driver-local temp dir.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
     if (!exists(spark, s"$indexDir/tombstones")) return
-    val tombs = spark.read.parquet(s"$indexDir/tombstones").select("docId").distinct()
-    val tombSet = tombs.as[Long].collect().toSet
-    if (tombSet.isEmpty) return
-    val tombB = spark.sparkContext.broadcast(tombSet)
+    val tombs = spark.read.parquet(s"$indexDir/tombstones").select("docId").distinct().cache()
+    if (tombs.isEmpty) { tombs.unpersist(); return }
 
     val docsR = spark.read.parquet(s"$indexDir/docs")
+    // bucket ids are bounded (thousands at 100 TB) — safe driver set
     val deadBuckets = docsR.join(tombs, Seq("docId")).select("bucket").distinct()
       .as[Int].collect().toSet
 
     // stage rewritten docs for affected buckets (cannot overwrite a path
     // being read), then dynamic-overwrite those buckets
-    val staging = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val staging = s"$indexDir/_staging"
+    delete(spark, staging)
     docsR.filter(col("bucket").isin(deadBuckets.toSeq: _*))
-      .filter(!col("docId").isin(tombSet.toSeq: _*))
+      .join(tombs, Seq("docId"), "left_anti")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
-    spark.read.parquet(s"$staging/docs")
+    val stagedDocs = spark.read.parquet(s"$staging/docs")
+    val liveBuckets = stagedDocs.select("bucket").distinct().as[Int].collect().toSet
+    stagedDocs
       .withColumn("dbucket", col("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "docId")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dbucket").parquet(s"$indexDir/docs")
+    // a bucket whose every doc died leaves no staged rows → dynamic
+    // overwrite won't touch it; drop its partitions explicitly
+    (deadBuckets -- liveBuckets).foreach { b =>
+      delete(spark, s"$indexDir/docs/dbucket=$b")
+    }
 
-    val stats = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
-
-    // decode → filter → re-encode postings of affected buckets, staged
+    // decode → anti-join-filter → re-encode postings of affected buckets
     spark.read.parquet(s"$indexDir/postings")
       .filter(col("bucket").isin(deadBuckets.toSeq: _*))
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
-        col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
-    val postR = spark.read.parquet(s"$staging/postings").as[TermPostings]
-    val rebuilt = postR.flatMap { tp =>
-      val keep = tp.blocks.iterator.flatMap { b =>
-        val ids = graft.codec.Blocks.decodeDocIds(b)
-        val tfs = graft.codec.Blocks.decodeTfs(b)
-        val dls = graft.codec.Blocks.decodeDoclens(b)
-        ids.indices.iterator.collect {
-          case i if !tombB.value.contains(ids(i)) => Posting(tp.bucket, tp.term, ids(i), tfs(i), dls(i))
+    val decoded = spark.read.parquet(s"$staging/postings").as[TermPostings]
+      .flatMap { tp =>
+        tp.blocks.iterator.flatMap { b =>
+          val ids = graft.codec.Blocks.decodeDocIds(b)
+          val tfs = graft.codec.Blocks.decodeTfs(b)
+          val dls = graft.codec.Blocks.decodeDoclens(b)
+          ids.indices.iterator.map(i => Posting(tp.bucket, tp.term, ids(i), tfs(i), dls(i)))
         }
-      }.toArray
-      keep.iterator
+      }
+    val rebuilt = decoded.join(tombs, Seq("docId"), "left_anti").as[Posting]
+    IndexBuilder.writePostingsSegment(spark, rebuilt, s"$indexDir/postings", append = false)
+    (deadBuckets -- liveBuckets).foreach { b =>
+      delete(spark, s"$indexDir/postings/pbucket=$b")
     }
-    IndexBuilder.writePostingsSegment(spark, rebuilt, s"$indexDir/postings",
-      stats.avgdl, append = false)
 
-    // recompute stats + terms over the compacted index; clear tombstones
-    val live = spark.read.parquet(s"$indexDir/docs")
-    val st = live.agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head()
-    Seq(CorpusStats(st.getLong(0), st.getLong(1).toDouble / st.getLong(0), st.getLong(1),
-      stats.snapshotId + 1)).toDS()
+    // recompute stats + terms over the compacted index; clear tombstones.
+    // Terms re-agg here is the one full pass — compaction IS the amortized
+    // O(affected) maintenance operation; appends stay O(batch).
+    val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+    val live = spark.read.parquet(s"$indexDir/docs").filter(col("doclen") > 0)
+    val agg = live.agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head()
+    Seq(CorpusStats(agg.getLong(0), agg.getLong(1).toDouble / agg.getLong(0), agg.getLong(1),
+      st.snapshotId + 1)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
     IndexBuilder.writeTermsFromPostings(spark, indexDir)
+    tombs.unpersist()
     delete(spark, s"$indexDir/tombstones")
+    delete(spark, staging)
+  }
+
+  /** W2 — MERGE-style doc-as-upsert (`monstache.go:3183-3207`): rewrite IN
+    * PLACE the docs-table rows of urls whose incoming version is strictly
+    * higher, touching only affected dbucket partitions (the partition-
+    * overwrite MERGE analog). Rows with version <= existing are dropped —
+    * re-ingesting an identical batch rewrites nothing (byte-level no-op).
+    *
+    * Note: this updates doc METADATA (url/version fields) in place. Content
+    * changes that alter postings go through appendBatch + tombstones —
+    * an inverted index cannot edit postings in place at scale.
+    */
+  def upsertDocs(spark: SparkSession, updates: DataFrame, indexDir: String): Long = {
+    import spark.implicits._
+    val docsPath = s"$indexDir/docs"
+    val docsR = spark.read.parquet(docsPath)
+    val up = updates.select(col("url"), col("version").as("new_version"))
+    // O(batch): broadcast the update keys; index side is never shuffled
+    val hits = docsR.join(broadcast(up), Seq("url"))
+      .filter(col("new_version") > col("version"))
+      .select(col("docId"), col("bucket"), col("url"), col("doclen"),
+        col("new_version").as("version"))
+      .cache()
+    val nHits = hits.count()
+    if (nHits == 0) { hits.unpersist(); return 0L }
+
+    val buckets = hits.select("bucket").distinct().as[Int].collect()
+    val staging = s"$indexDir/_staging/upsert"
+    delete(spark, staging)
+    // merged view of affected buckets: replaced rows swapped in
+    docsR.filter(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(hits.select(col("docId").as("h_docId"))),
+        col("docId") === col("h_docId"), "left_anti")
+      .unionByName(hits)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.read.parquet(staging)
+      .withColumn("dbucket", col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "docId")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dbucket").parquet(docsPath)
+    delete(spark, staging)
+    hits.unpersist()
+    nHits
   }
 
   /** Structured Streaming entry: file-source over a directory of parquet

@@ -58,22 +58,26 @@ class CodecSpec extends AnyFunSuite {
     assert(got.toSeq === arr.toSeq)
   }
 
-  test("block build/decode round-trip + block-max is a true upper bound") {
+  test("block build/decode round-trip + derived block-max is a true upper bound under ANY avgdl") {
     val rnd = new scala.util.Random(7)
     val docIds = (0 until 1000).map(_ => math.abs(rnd.nextLong()) % (1L << 30)).distinct.sorted.toArray
     val tfs = docIds.map(_ => 1 + rnd.nextInt(50))
     val dls = docIds.map(_ => 8 + rnd.nextInt(500))
-    val avgdl = 180.0
-    val blocks = Blocks.build(docIds, tfs, dls, avgdl)
+    val blocks = Blocks.build(docIds, tfs, dls)
     assert(blocks.map(_.count).sum === docIds.length)
     assert(blocks.forall(_.count <= Blocks.BlockSize))
     assert(blocks.flatMap(Blocks.decodeDocIds).toSeq === docIds.toSeq)
     assert(blocks.flatMap(Blocks.decodeTfs).toSeq === tfs.toSeq)
     assert(blocks.flatMap(Blocks.decodeDoclens).toSeq === dls.toSeq)
-    blocks.foreach { b =>
-      val t = Blocks.decodeTfs(b); val d = Blocks.decodeDoclens(b)
-      t.indices.foreach { i =>
-        assert(graft.model.Bm25.partial(t(i), d(i), avgdl) <= b.maxPartial + 1e-12)
+    // the (maxTf, minDl) bound must hold under any corpus avgdl — exactly
+    // the property that keeps WAND exact after streaming appends shift stats
+    Seq(20.0, 180.0, 400.0).foreach { avgdl =>
+      blocks.foreach { b =>
+        val bound = graft.model.Bm25.partial(b.maxTf, b.minDl, avgdl)
+        val t = Blocks.decodeTfs(b); val d = Blocks.decodeDoclens(b)
+        t.indices.foreach { i =>
+          assert(graft.model.Bm25.partial(t(i), d(i), avgdl) <= bound + 1e-12)
+        }
       }
     }
     // delta compression beats raw 8-byte longs
@@ -82,7 +86,7 @@ class CodecSpec extends AnyFunSuite {
 
   test("block boundaries: firstDocId/lastDocId/count are consistent") {
     val docIds = (0L until 300L).toArray
-    val blocks = Blocks.build(docIds, docIds.map(_ => 1), docIds.map(_ => 10), 10.0)
+    val blocks = Blocks.build(docIds, docIds.map(_ => 1), docIds.map(_ => 10))
     assert(blocks.size === 3) // 128 + 128 + 44
     assert(blocks.head.firstDocId === 0L && blocks.head.lastDocId === 127L)
     assert(blocks.last.count === 44)

@@ -37,10 +37,10 @@ class PForSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(5)
     val sparse = Array.iterate(0L, 128)(x => x + 1000000L + rnd.nextInt(1 << 20))
     Seq(dense, sparse).foreach { ids =>
-      val blocks = Blocks.build(ids, ids.map(_ => 1), ids.map(_ => 10), 10.0)
+      val blocks = Blocks.build(ids, ids.map(_ => 1), ids.map(_ => 10))
       assert(blocks.flatMap(Blocks.decodeDocIds).toSeq === ids.toSeq)
     }
-    val denseBlocks = Blocks.build(dense, dense.map(_ => 1), dense.map(_ => 10), 10.0)
+    val denseBlocks = Blocks.build(dense, dense.map(_ => 1), dense.map(_ => 10))
     assert(denseBlocks.head.docBytes(0) === 1, "dense gaps should pick PFor")
   }
 }

@@ -14,10 +14,11 @@ class ResumeSpec extends SparkSpecBase {
 
   private def canonicalPostings(dir: String): DataFrame =
     spark.read.parquet(s"$dir/postings")
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"), col("minDl"),
         explode(col("blocks")).as("b"))
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxPartial"),
-        col("b.firstDocId"), col("b.lastDocId"), col("b.count"), col("b.maxPartial").as("bmax"),
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"), col("minDl"),
+        col("b.firstDocId"), col("b.lastDocId"), col("b.count"),
+        col("b.maxTf").as("bMaxTf"), col("b.minDl").as("bMinDl"),
         base64(col("b.docBytes")).as("d64"), base64(col("b.tfBytes")).as("t64"),
         base64(col("b.dlBytes")).as("l64"))
 
