@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.query.{Bm25Sql, QueryEngine}
+import graft.sources.Discovery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,6 +63,11 @@ object SparkEntry {
     "q_worker_partition" -> ((s, d) => Relational.workerPartition(s, d)),
     "q_json_path" -> ((s, d) => Relational.jsonPath(s, d)),
     "q_invalid_prune" -> ((s, d) => Relational.invalidPrune(s, d)),
+    "q_canonical_encode" -> ((s, d) => Relational.canonicalEncode(s, d)),
+    "q_merge_patch" -> ((s, d) => Relational.mergePatch(s, d)),
+    "q_index_routing" -> ((s, d) => Relational.indexRouting(s, d)),
+    "q_ns_discovery" -> ((s, d) =>
+      Discovery.namespaceCounts(s, d, include = "^(nation|region|supplier)$", exclude = "^region$")),
 
     // ---- training-data pipeline: dedup ----
     "q_dedup_exact" -> ((s, d) =>
@@ -104,10 +110,12 @@ object SparkEntry {
 
     // ---- multimodal plumbing ----
     "q_media_meta" -> ((s, d) =>
-      Multimodal.mediaMeta(Multimodal.htmlPayload(s, d))
+      // mixedPayload injects png/jpeg/riff magic prefixes on doc_id mod 4 =
+      // 0/1/2 — all sniff branches run, the oracle predicts each analytically
+      Multimodal.mediaMeta(Multimodal.mixedPayload(s, d))
         .select("doc_id", "byte_len", "magic", "kind").orderBy("doc_id")),
     "q_media_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.htmlPayload(s, d)).orderBy("doc_id", "frame"))
+      Multimodal.sampleFrames(Multimodal.mixedPayload(s, d)).orderBy("doc_id", "frame"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -158,6 +166,67 @@ object SparkEntry {
        |WHERE round(($agree) / 8.0, 4) >= 0.25
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** SimHash oracle: reproduces the md5-derived 64-bit term hash, the
+    * tf-weighted bit accumulation, the 4×16-bit banding, and the Hamming
+    * filter — pair enumeration must be exact.
+    */
+  private def simhashSql: String = {
+    val bits = (0 until 64).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s$j").mkString(", ")
+    val sig = (0 until 64).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::UBIGINT ELSE 0::UBIGINT END)").mkString(" + ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * 16}) & 65535::UBIGINT AS key FROM sig").mkString(" UNION ALL ")
+    s"""WITH $TOK, $TF,
+       |h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+       |bits AS (SELECT doc_id, $bits FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM bits),
+       |buckets AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM cand JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** IVF oracle: exact SQL twin — same centroid seeds (16 lowest vec_ids),
+    * same nearest-centroid assignment and 4-probe, same ordered-summation
+    * cosine, same (cosine desc, vec_id asc) ranking.
+    */
+  private def ivfSql: String =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+      |ev AS (SELECT vec_id, embedding FROM embeddings),
+      |cei AS (SELECT ev.vec_id, cents.cent_id, ev.embedding AS e, cents.cvec AS c,
+      |               unnest(generate_series(1, len(ev.embedding))) AS i
+      |        FROM ev CROSS JOIN cents),
+      |cd AS (SELECT vec_id, cent_id,
+      |         sum((e[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i) /
+      |         (sqrt(sum((e[i]::DOUBLE) * (e[i]::DOUBLE) ORDER BY i)) * sqrt(sum((c[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i))) AS cdist
+      |       FROM cei GROUP BY 1, 2),
+      |assigned AS (SELECT vec_id, cent_id FROM
+      |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd)
+      |  WHERE crank = 1),
+      |probed AS (SELECT vec_id AS query_id, cent_id FROM
+      |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd WHERE vec_id < 3)
+      |  WHERE crank <= 4),
+      |cand AS (SELECT p.query_id, a.vec_id FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+      |         WHERE a.vec_id <> p.query_id),
+      |pairsi AS (SELECT c.query_id, c.vec_id, q.embedding AS qv, e.embedding AS ev,
+      |                  unnest(generate_series(1, len(e.embedding))) AS i
+      |           FROM cand c
+      |           JOIN embeddings q ON q.vec_id = c.query_id
+      |           JOIN embeddings e ON e.vec_id = c.vec_id),
+      |scored AS (SELECT query_id, vec_id,
+      |             sum((ev[i]::DOUBLE) * (qv[i]::DOUBLE) ORDER BY i) /
+      |             (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((qv[i]::DOUBLE) * (qv[i]::DOUBLE) ORDER BY i))) AS cosine_raw
+      |           FROM pairsi GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, vec_id, cosine_raw,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id ASC)::INT AS rank
+      |           FROM scored)
+      |SELECT query_id, rank, vec_id, round(cosine_raw, 4) AS cosine
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus_stats" ->
@@ -303,8 +372,72 @@ object SparkEntry {
          |FROM agg ORDER BY doc_id""".stripMargin
     },
     "q_media_meta" ->
-      """SELECT doc_id, octet_length(encode('<html><body>' || text || '</body></html>'))::BIGINT AS byte_len,
-        |       '3c68746d' AS magic, 'html' AS kind
-        |FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id,
+        |  (octet_length(encode('<html><body>' || text || '</body></html>')) +
+        |   CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 4 ELSE 0 END)::BIGINT AS byte_len,
+        |  CASE doc_id % 4 WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffe0'
+        |                  WHEN 2 THEN '52494646' ELSE '3c68746d' END AS magic,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                  WHEN 2 THEN 'riff' ELSE 'html' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH payload AS (
+        |  SELECT doc_id, doc_id % 4 AS m,
+        |         encode('<html><body>' || text || '</body></html>') AS body FROM documents),
+        |withmagic AS (
+        |  SELECT doc_id,
+        |    CASE m WHEN 0 THEN unhex('89504e47') || body WHEN 1 THEN unhex('ffd8ffe0') || body
+        |           WHEN 2 THEN unhex('52494646') || body ELSE body END AS blob
+        |  FROM payload),
+        |base AS (
+        |  SELECT doc_id, blob, octet_length(blob)::BIGINT AS blen,
+        |         greatest(1, octet_length(blob) // 4)::BIGINT AS stride FROM withmagic),
+        |frames AS (
+        |  SELECT doc_id, blob, blen, stride, unnest(generate_series(0, 3))::BIGINT AS frame FROM base)
+        |SELECT doc_id, frame::INT AS frame,
+        |       (least(blen, frame * stride + 16) - frame * stride)::INT AS frame_bytes,
+        |       lower(substr(hex(blob), (frame * stride * 2 + 1)::INT,
+        |                    ((least(blen, frame * stride + 16) - frame * stride) * 2)::INT)) AS frame_hex
+        |FROM frames WHERE frame * stride < blen
+        |ORDER BY doc_id, frame""".stripMargin,
+    "q_simhash_pairs" -> simhashSql,
+    "q_ann_ivf" -> ivfSql,
+
+    "q_canonical_encode" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS time_canonical,
+        |  substr(md5(event_id::VARCHAR), 1, 8) || '-' || substr(md5(event_id::VARCHAR), 9, 4) || '-' ||
+        |    substr(md5(event_id::VARCHAR), 13, 4) || '-' || substr(md5(event_id::VARCHAR), 17, 4) || '-' ||
+        |    substr(md5(event_id::VARCHAR), 21, 12) AS uuid_canonical,
+        |  to_base64(unhex(md5(event_id::VARCHAR))) AS bin_base64,
+        |  CASE WHEN isnan(value) OR isinf(value) THEN NULL
+        |       ELSE (value::DECIMAL(38,6))::VARCHAR END AS decimal_canonical
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_merge_patch" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type AS curT,
+        |    CASE WHEN json_extract_string(props, '$.k')::INT % 10 <> 0
+        |         THEN json_extract_string(props, '$.k')::INT END AS curK,
+        |    lag(event_type) OVER w AS prevT,
+        |    lag(CASE WHEN json_extract_string(props, '$.k')::INT % 10 <> 0
+        |             THEN json_extract_string(props, '$.k')::INT END) OVER w AS prevK,
+        |    (lag(event_id) OVER w IS NOT NULL) AS hasPrev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, event_id,
+        |  '{' || concat_ws(',',
+        |    CASE WHEN NOT hasPrev THEN (CASE WHEN curK IS NOT NULL THEN '"k":' || curK::VARCHAR END)
+        |         ELSE CASE WHEN curK IS NOT NULL AND (prevK IS NULL OR prevK <> curK) THEN '"k":' || curK::VARCHAR
+        |                   WHEN curK IS NULL AND prevK IS NOT NULL THEN '"k":null' END END,
+        |    CASE WHEN NOT hasPrev OR prevT <> curT THEN '"type":"' || curT || '"' END) || '}' AS patch
+        |FROM base ORDER BY user_id, event_id""".stripMargin,
+    "q_index_routing" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'idx_clicks' WHEN 'view' THEN 'idx_views'
+        |       ELSE 'idx_' || event_type END AS target_index, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1 ORDER BY target_index""".stripMargin,
+    "q_ns_discovery" ->
+      """SELECT 'nation' AS ns, count(*)::BIGINT AS n_rows FROM nation
+        |UNION ALL SELECT 'supplier' AS ns, count(*)::BIGINT AS n_rows FROM supplier
+        |ORDER BY ns""".stripMargin
   )
 }

@@ -80,4 +80,22 @@ object Multimodal {
       .withColumn("doc_id",
         regexp_extract(col("url"), "/(\\d+)$", 1).cast("long"))
       .select(col("doc_id"), col("html").as("payload"))
+
+  private val PngMagic: Array[Byte]  = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+  private val JpegMagic: Array[Byte] = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+  private val RiffMagic: Array[Byte] = Array(0x52, 0x49, 0x46, 0x46).map(_.toByte)
+
+  /** Deterministic mixed-media corpus: docs with doc_id mod 4 = 0/1/2 get a
+    * png/jpeg/riff magic prefix, the rest stay html — so every `sniff`
+    * branch is exercised by the driver oracle, not just the trivial html
+    * case. Pure column ops (binary concat stays in codegen).
+    */
+  def mixedPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4L))
+    htmlPayload(spark, sfDir).withColumn("payload",
+      when(m === 0, concat(lit(PngMagic), col("payload")))
+        .when(m === 1, concat(lit(JpegMagic), col("payload")))
+        .when(m === 2, concat(lit(RiffMagic), col("payload")))
+        .otherwise(col("payload")))
+  }
 }

@@ -159,4 +159,79 @@ object Relational {
         col("value") =!= Double.NegativeInfinity &&
         year(col("ts")).between(0, 9999))
       .agg(count(lit(1)).as("n_valid"), round(sum("value"), 4).as("sum_valid"))
+
+  /** M4 — canonical type encoding (`monstachemap/encoding.go:13,27-82`):
+    * the observable output formats of every indexed doc —
+    *   Time → fixed `2006-01-02T15:04:05.000Z07:00` layout (millis, UTC);
+    *   Binary subtype 3/4 (UUID) → dashed hex 8-4-4-4-12;
+    *   other Binary → base64;
+    *   Decimal128 → decimal string, NaN/Inf → null.
+    * Exercised over `events`: a deterministic 16-byte binary is derived per
+    * row (md5 of the event id) so both UUID and base64 branches run on real
+    * bytes; the decimal branch runs on the double `value` incl. its NaN/Inf
+    * rows. All pure column expressions (codegen'd).
+    */
+  def canonicalEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val hx = md5(col("event_id").cast("string")) // 32 lowercase hex chars
+    val uuid = concat_ws("-",
+      substring(hx, 1, 8), substring(hx, 9, 4), substring(hx, 13, 4),
+      substring(hx, 17, 4), substring(hx, 21, 12))
+    t(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("time_canonical"),
+        uuid.as("uuid_canonical"),
+        base64(unhex(hx)).as("bin_base64"),
+        when(isnan(col("value")) ||
+          col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("value").cast("decimal(38,6)").cast("string"))
+          .as("decimal_canonical"))
+      .orderBy("event_id")
+  }
+
+  /** M6 — RFC-7386 JSON merge patch between consecutive versions per key
+    * (`monstache.go:3084-3158`): each user's event stream is a document
+    * history {k?, type}; the patch holds exactly the changed members, with
+    * member REMOVAL encoded as null (k is absent whenever k % 10 == 0, so
+    * the null-removal rule is exercised). First version's patch is the full
+    * document. Serialization is canonical: members in key order.
+    */
+  def mergePatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val ev = t(spark, sfDir, "events")
+      .withColumn("k_raw", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("curK", when(pmod(col("k_raw"), lit(10)) =!= 0, col("k_raw")))
+      .withColumn("curT", col("event_type"))
+      .withColumn("prevK", lag(col("curK"), 1).over(w))
+      .withColumn("prevT", lag(col("curT"), 1).over(w))
+      .withColumn("hasPrev", lag(col("event_id"), 1).over(w).isNotNull)
+    val kEntry =
+      when(!col("hasPrev"),
+        when(col("curK").isNotNull, concat(lit("\"k\":"), col("curK").cast("string"))))
+      .otherwise(
+        when(col("curK").isNotNull && (col("prevK").isNull || col("prevK") =!= col("curK")),
+          concat(lit("\"k\":"), col("curK").cast("string")))
+        .when(col("curK").isNull && col("prevK").isNotNull, lit("\"k\":null")))
+    val tEntry =
+      when(!col("hasPrev") || col("prevT") =!= col("curT"),
+        concat(lit("\"type\":\""), col("curT"), lit("\"")))
+    ev.select(col("user_id"), col("event_id"),
+        concat(lit("{"), concat_ws(",", kEntry, tEntry), lit("}")).as("patch"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** `mapIndex`-style namespace→index routing (`monstache.go:802-813`):
+    * per-namespace output remapping with a passthrough default.
+    */
+  def indexRouting(spark: SparkSession, sfDir: String,
+      rules: Map[String, String] = Map("click" -> "idx_clicks", "view" -> "idx_views")): DataFrame = {
+    val routed = rules.foldLeft(concat(lit("idx_"), col("event_type"))) {
+      case (acc, (ns, idx)) => when(col("event_type") === ns, lit(idx)).otherwise(acc)
+    }
+    t(spark, sfDir, "events")
+      .withColumn("target_index", routed)
+      .groupBy("target_index").agg(count(lit(1)).as("n"))
+      .orderBy("target_index")
+  }
 }
