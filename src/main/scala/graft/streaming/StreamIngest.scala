@@ -334,9 +334,10 @@ object StreamIngest {
     delete(spark, staging)
     // merged view of affected buckets: replaced rows swapped in
     docsR.filter(col("bucket").isin(buckets.toSeq: _*))
+      .select("docId", "bucket", "url", "doclen", "version")
       .join(broadcast(hits.select(col("docId").as("h_docId"))),
         col("docId") === col("h_docId"), "left_anti")
-      .unionByName(hits)
+      .unionByName(hits.select("docId", "bucket", "url", "doclen", "version"))
       .write.mode(SaveMode.Overwrite).parquet(staging)
     spark.read.parquet(staging)
       .withColumn("dbucket", col("bucket"))

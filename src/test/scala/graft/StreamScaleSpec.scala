@@ -1,0 +1,122 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.model.PageDoc
+import graft.query.{ExhaustiveScorer, QueryEngine}
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale-shape contracts of the streaming path:
+  *  - appendBatch is O(batch): its shuffle traffic must not grow with the
+  *    size of the base index (VERDICT r1 item 2's done-criterion);
+  *  - compact survives 10^5 tombstones without driver-side In-expressions;
+  *  - appends that SHIFT avgdl keep WAND rank-identical to the exhaustive
+  *    oracle (the stored block bounds are avgdl-independent).
+  */
+class StreamScaleSpec extends SparkSpecBase {
+
+  private def ds(pages: Seq[PageDoc]) =
+    spark.createDataset(pages)(Encoders.product[PageDoc])
+
+  /** Total shuffle bytes (read + write) across all stages run inside f. */
+  private def shuffleBytes(f: => Unit): Long = {
+    val acc = new AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null)
+          acc.addAndGet(m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { f; Thread.sleep(1500) } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("append shuffle bytes do not grow with base-index size (O(batch) append)") {
+    // two indexes: base of 300 docs vs base of 3000 docs (10x), identical
+    // 100-doc batch appended to each
+    val smallDir = Files.createTempDirectory("oidx-s").toString
+    val bigDir = Files.createTempDirectory("oidx-b").toString
+    StreamIngest.appendBatch(spark, ds(Corpus.synthetic(300, seed = 31L)), smallDir,
+      bucketSize = 256, snapshotId = 1)
+    StreamIngest.appendBatch(spark, ds(Corpus.synthetic(3000, seed = 31L)), bigDir,
+      bucketSize = 256, snapshotId = 1)
+
+    // batch urls disjoint from both bases (different seed → different page ids)
+    val batch = Corpus.synthetic(4000, seed = 31L).drop(3900)
+    val sb = shuffleBytes {
+      StreamIngest.appendBatch(spark, ds(batch), smallDir, bucketSize = 256, snapshotId = 2)
+    }
+    val bb = shuffleBytes {
+      StreamIngest.appendBatch(spark, ds(batch), bigDir, bucketSize = 256, snapshotId = 2)
+    }
+    // identical batch, 10x base: shuffle traffic must be flat (allow 50%
+    // noise — AQE/stats jitter; an O(index) append would be ~10x)
+    assert(bb <= sb * 1.5 + (64 << 10),
+      s"append against 10x base shuffled ${bb} vs ${sb} bytes — append is not O(batch)")
+  }
+
+  test("compact with 1e5 tombstones (anti-join path, no driver isin)") {
+    val dir = Files.createTempDirectory("oidx-c").toString
+    val n = 120000L
+    val pages = Corpus.syntheticDistributed(spark, n, seed = 13L, parts = 8)
+    graft.index.IndexBuilder.build(spark, pages, dir,
+      graft.index.IndexBuilder.Config(numBuckets = 8))
+    val killed = StreamIngest.deleteByQuery(spark, dir, col("docId") < 100000L, snapshotId = 2)
+    assert(killed === 100000L)
+    StreamIngest.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val docs = spark.read.parquet(s"$dir/docs")
+    assert(docs.count() === n - 100000L)
+    assert(docs.filter(col("docId") < 100000L).count() === 0L)
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$dir/stats").as[graft.model.CorpusStats].head()
+    assert(stats.n === n - 100000L)
+    // index still queryable and consistent after the mass delete
+    val hits = QueryEngine.topK(spark, dir, Seq("q" -> "the data"), 10).collect()
+    assert(hits.length === 10 && hits.forall(_.docId >= 100000L))
+  }
+
+  test("append that shifts avgdl stays rank-identical to the exhaustive oracle") {
+    // base: only short docs; batch: only long docs → avgdl rises sharply,
+    // exactly the stale-bound scenario (ADVICE r1, high)
+    val all = Corpus.synthetic(1200, seed = 17L)
+    val (short, long) = all.partition(_.text.length < 1200)
+    assert(short.nonEmpty && long.nonEmpty)
+    val dir = Files.createTempDirectory("oidx-a").toString
+    StreamIngest.appendBatch(spark, ds(short), dir, bucketSize = 128, snapshotId = 1)
+    val avgdl0 = { import spark.implicits._
+      spark.read.parquet(s"$dir/stats").as[graft.model.CorpusStats].head().avgdl }
+    StreamIngest.appendBatch(spark, ds(long), dir, bucketSize = 128, snapshotId = 2)
+    val avgdl1 = { import spark.implicits._
+      spark.read.parquet(s"$dir/stats").as[graft.model.CorpusStats].head().avgdl }
+    assert(avgdl1 > avgdl0 * 1.2, s"test premise: avgdl must rise ($avgdl0 -> $avgdl1)")
+
+    val queries = Seq("a1" -> "the data", "a2" -> "spark index merge", "a3" -> "the of and")
+    val got = QueryEngine.topK(spark, dir, queries, 10).collect()
+    val urlOf = spark.read.parquet(s"$dir/docs")
+      .select("docId", "url").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    import spark.implicits._
+    val docsText = spark.read.parquet(s"$dir/docs").select("docId", "url").as[(Long, String)]
+      .collect().toMap
+    val textOf = all.map(p => p.url -> p.text).toMap
+    val oracleInput = spark.createDataset(
+      docsText.toSeq.map { case (id, url) => (id, textOf(url)) })
+    val want = ExhaustiveScorer.topK(spark, oracleInput, queries, 10).collect()
+
+    queries.foreach { case (qid, _) =>
+      val g = got.filter(_.queryId == qid).sortBy(_.rank)
+      val w = want.filter(_.queryId == qid).sortBy(_.rank)
+      assert(g.length === w.length, s"$qid sizes")
+      g.zip(w).foreach { case (gr, wr) =>
+        assert(gr.docId === wr.docId, s"$qid rank ${gr.rank}: ${urlOf(gr.docId)} vs ${urlOf(wr.docId)}")
+        assert(gr.score === wr.score, s"$qid rank ${gr.rank}: score must be bit-identical post-append")
+      }
+    }
+  }
+}
