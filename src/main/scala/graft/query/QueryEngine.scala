@@ -223,6 +223,7 @@ object QueryEngine {
       val tstatsB = spark.sparkContext.broadcast(tstats)
       val n = stats.n
       val avgdl = stats.avgdl
+      val tomb = tombB // local ref — the closure must not capture `this`
       val perBucket = postings
         .filter(col("term").isin(allTerms: _*))
         .as[TermPostings]
@@ -233,7 +234,7 @@ object QueryEngine {
           qTermsB.value.iterator.flatMap { case (qid, terms) =>
             val present = terms.filter(byTerm.contains)
             if (present.isEmpty) Iterator.empty
-            else wandBucket(qid, present, byTerm, ts, n, avgdl, k, tombB.value).iterator
+            else wandBucket(qid, present, byTerm, ts, n, avgdl, k, tomb.value).iterator
           }
         }
       val w = org.apache.spark.sql.expressions.Window
