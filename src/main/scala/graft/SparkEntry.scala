@@ -95,6 +95,11 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 10)
         .orderBy("query_id", "rank")
     }),
+    "q_embed_neardup" -> ((s, d) =>
+      // threshold calibrated to the harness corpus (synthetic embeddings
+      // are near-orthogonal; real near-dup corpora use ~0.9)
+      Similarity.embeddingNearDups(Similarity.embeddings(s, d), minCosine = 0.35)
+        .orderBy("id_a", "id_b")),
     "q_lang_quality" -> ((s, d) =>
       TextOps.qualityFeatures(TextOps.documents(s, d))
         .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
@@ -403,6 +408,29 @@ object SparkEntry {
     "q_simhash_pairs" -> simhashSql,
     "q_ann_ivf" -> ivfSql,
 
+    "q_embed_neardup" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+        |cei AS (SELECT e.vec_id, cents.cent_id, e.embedding AS ev, cents.cvec AS c,
+        |               unnest(generate_series(1, len(e.embedding))) AS i
+        |        FROM embeddings e CROSS JOIN cents),
+        |cd AS (SELECT vec_id, cent_id,
+        |         sum((ev[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i) /
+        |         (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((c[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i))) AS cdist
+        |       FROM cei GROUP BY 1, 2),
+        |assigned AS (SELECT vec_id, cent_id FROM
+        |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd)
+        |  WHERE crank = 1),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+        |pi AS (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb,
+        |              unnest(generate_series(1, len(ea.embedding))) AS i
+        |       FROM pr JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b),
+        |sc AS (SELECT id_a, id_b,
+        |         sum((va[i]::DOUBLE) * (vb[i]::DOUBLE) ORDER BY i) /
+        |         (sqrt(sum((va[i]::DOUBLE) * (va[i]::DOUBLE) ORDER BY i)) * sqrt(sum((vb[i]::DOUBLE) * (vb[i]::DOUBLE) ORDER BY i))) AS cosine_raw
+        |       FROM pi GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(cosine_raw, 4) AS cosine FROM sc
+        |WHERE cosine_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_canonical_encode" ->
       """SELECT event_id,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS time_canonical,

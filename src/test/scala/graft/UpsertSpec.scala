@@ -98,6 +98,20 @@ class UpsertSpec extends SparkSpecBase {
     assert(hits.forall(h => !urls(h.docId).contains("/site0/")))
   }
 
+  test("dropNamespace deletes exactly the namespace's docs (F4 drop-op scoping)") {
+    val pages = Corpus.synthetic(200, seed = 41L) // urls testdata-shaped? no: example.org/siteN
+    val dir = Files.createTempDirectory("drop-idx").toString
+    graft.index.IndexBuilder.build(spark,
+      spark.createDataset(pages)(Encoders.product[PageDoc]), dir,
+      graft.index.IndexBuilder.Config(numBuckets = 4))
+    val killed = StreamIngest.dropNamespace(spark, dir, "site3", snapshotId = 2)
+    assert(killed === pages.count(_.url.contains("/site3/")).toLong)
+    StreamIngest.compact(spark, dir)
+    val urls = spark.read.parquet(s"$dir/docs").select("url").collect().map(_.getString(0))
+    assert(!urls.exists(_.contains("/site3/")))
+    assert(urls.length === 200 - killed)
+  }
+
   test("sniff identifies png/jpeg/riff/html/unknown magic bytes") {
     import spark.implicits._
     val rows = Seq(
