@@ -44,29 +44,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
   }
 
-  /** IVF-bucketed ANN: C centroids = the embeddings of the C lowest vec_ids
-    * (deterministic seeds, k-means-free v1). Every vector is assigned to its
-    * nearest centroid; a query probes `nprobe` nearest centroid buckets and
-    * ranks only those vectors. Recall < 1 by design; at 100 TB the bucket
-    * join replaces the full scan per query.
+  /** Collected centroid seeds: the C lowest vec_ids (deterministic,
+    * k-means-free v1). C is small and bounded → a driver-side array is the
+    * broadcast-literal side of every assignment.
+    */
+  private def centroidSeeds(corpus: DataFrame, centroids: Int): Seq[(Int, Seq[Float])] =
+    corpus.orderBy(col("vec_id").asc).limit(centroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toSeq
+
+  /** Nearest-centroid id as a NARROW column expression: argmax over the
+    * inlined centroid vectors via `array_max` on (cdist, -cent_id) structs —
+    * no explode, no crossJoin, and crucially no window shuffle of the
+    * corpus (a per-vector window would shuffle the full embedding table C×
+    * at 100 TB; this is a pure map over the scan). Every cdist expression
+    * appears exactly ONCE (a when-chain fold would double the expression
+    * tree per centroid — 2^C codegen blowup). struct ordering compares
+    * cdist first, then -cent_id: max ≡ (cdist desc, cent_id asc) rank 1.
+    */
+  private def nearestCentroidCol(vecCol: org.apache.spark.sql.Column,
+      seeds: Seq[(Int, Seq[Float])]): org.apache.spark.sql.Column = {
+    val n = norm(vecCol)
+    val scored = seeds.map { case (cid, v) =>
+      val cvec = typedlit(v)
+      struct((dot(vecCol, cvec) / (n * norm(cvec))).as("d"), lit(-cid).as("nid"))
+    }
+    -array_max(array(scored: _*)).getField("nid")
+  }
+
+  /** IVF-bucketed ANN: every vector is assigned to its nearest centroid
+    * (narrow argmax — see nearestCentroidCol); a query probes `nprobe`
+    * nearest centroid buckets and ranks only those vectors. Recall < 1 by
+    * design; at 100 TB the bucket join replaces the full scan per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, centroids: Int = 16,
       nprobe: Int = 4): DataFrame = {
+    val seeds = centroidSeeds(corpus, centroids)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cent_id", nearestCentroidCol(col("embedding"), seeds))
+    // query side is small — the explode+window probe ranking is fine there
     val cents = broadcast(
       corpus.orderBy(col("vec_id").asc).limit(centroids)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
-    def assign(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("cdist", dot(col(vecCol), col("cvec")) /
-          (norm(col(vecCol)) * norm(col("cvec"))))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cdist").desc, col("cent_id").asc)
-      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= keep)
+    val probed = {
+      val scored = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .crossJoin(cents)
+        .withColumn("cdist", dot(col("qvec"), col("cvec")) /
+          (norm(col("qvec")) * norm(col("cvec"))))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= nprobe)
         .drop("cvec", "cdist", "crank")
     }
-    val assigned = assign(corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-    val probed = assign(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
-      "query_id", "qvec", nprobe)
     val scored = assigned.join(probed, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine_raw",
@@ -87,15 +116,9 @@ object Similarity {
     */
   def embeddingNearDups(corpus: DataFrame, minCosine: Double = 0.9,
       centroids: Int = 16): DataFrame = {
-    val cents = broadcast(
-      corpus.orderBy(col("vec_id").asc).limit(centroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
-    val scoredC = corpus.select(col("vec_id"), col("embedding")).crossJoin(cents)
-      .withColumn("cdist", dot(col("embedding"), col("cvec")) /
-        (norm(col("embedding")) * norm(col("cvec"))))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cdist").desc, col("cent_id").asc)
-    val assigned = scoredC.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    val seeds = centroidSeeds(corpus, centroids)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cent_id", nearestCentroidCol(col("embedding"), seeds))
       .select(col("cent_id"), col("vec_id"), col("embedding"))
     val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))

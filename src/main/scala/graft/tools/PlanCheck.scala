@@ -58,17 +58,43 @@ object PlanCheck {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
       wants = Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
 
-    // 5. bm25 oracle plan: whole-stage codegen present (formatted mode
-    // marks codegen'd operators with a leading '* ')
+    // 5. bm25 oracle plan: hash aggregation end-to-end, broadcast joins,
+    // window-group-limit for the rank filter (no full sort of the scored
+    // set); the only object-hash aggregate is the collect_list fold
     check("bm25 sql", Bm25Sql.topK(spark, sfDir).queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
-      wants = Seq("* HashAggregate"))
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("HashAggregate", "WindowGroupLimit", "BroadcastHashJoin"),
+      rejects = Seq("SortAggregate", "SortMergeJoin", "CartesianProduct"))
 
     // 6. ns filter pushdown into parquet scan
     check("ns filter pushdown", Relational.namespaceFilter(spark, sfDir)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
       wants = Seq("PushedFilters: [IsNotNull(event_type)"))
+
+    // 7. IVF/near-dup centroid assignment must be NARROW: exactly one
+    // Exchange (the bucket-pair join), none from a per-vector window
+    val e = graft.ops.Similarity.embeddings(spark, sfDir)
+    val ndPlan = graft.ops.Similarity.embeddingNearDups(e, minCosine = 0.35)
+      .queryExecution.executedPlan.toString
+    val nExch = ndPlan.linesIterator.count(_.contains("Exchange"))
+    println(s"\n===== embed near-dup =====")
+    println(s"CHECK exchanges == 1 (bucket join only): " +
+      (if (nExch <= 1) "OK" else s"FAIL ($nExch)"))
+    check("embed near-dup window-free", ndPlan, wants = Nil, rejects = Seq("Window"))
+
+    // 8. urlmap recrawl lookup: partition pruning on urange must reach the
+    // scan (streaming append O(batch) contract)
+    val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
+    graft.streaming.StreamIngest.appendBatch(spark,
+      { import spark.implicits._
+        spark.createDataset(graft.corpus.Corpus.synthetic(50, seed = 3L)) },
+      tmpIdx, bucketSize = 64, snapshotId = 1)
+    val pruned = spark.read.parquet(s"$tmpIdx/urlmap")
+      .filter(col("urange").isin(1, 2, 3))
+    check("urlmap partition pruning", pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      wants = Seq("PartitionFilters: [urange"))
 
     spark.stop()
   }
