@@ -307,15 +307,22 @@ object IndexBuilder {
       .parquet(path)
   }
 
-  /** Global term dictionary aggregated from compact postings rows. */
+  /** Global term dictionary aggregated from compact postings rows, written
+    * as segment 0 of the seg-partitioned terms table (streaming appends add
+    * seg=snapshotId; readers sum segments). Full overwrite — this is the
+    * batch-build / compaction consolidation pass.
+    */
   def writeTermsFromPostings(spark: SparkSession, indexDir: String, codec: String = "zstd"): Unit = {
+    delete(spark, s"$indexDir/terms")
     spark.read.parquet(s"$indexDir/postings")
       .groupBy("term")
       .agg(sum("df").as("df"), sum("cf").as("cf"),
         max("maxTf").as("maxTf"), min("minDl").as("minDl"))
       .repartitionByRange(8, col("term"))
       .sortWithinPartitions("term")
+      .withColumn("seg", lit(0L))
       .write.mode(SaveMode.Overwrite)
+      .partitionBy("seg")
       .option("compression", codec)
       .parquet(s"$indexDir/terms")
   }
@@ -350,18 +357,24 @@ object IndexBuilder {
   }
 
   /** Term-dictionary SEGMENT from the postings rows matching `filter`
-    * (streaming append: only the batch's pbuckets — partition-pruned scan).
-    * Readers aggregate segments (sum df/cf, max maxTf, min minDl), so an
-    * append writes O(batch terms), never the global dictionary.
+    * (streaming append: only the batch's pbuckets — partition-pruned scan),
+    * written as a dynamic overwrite of seg=`seg` so a retried batch
+    * replaces its own segment instead of double-counting. Readers
+    * aggregate segments (sum df/cf, max maxTf, min minDl), so a batch
+    * writes O(batch terms), never the global dictionary. `seg` must be
+    * unique per ingested batch (the snapshot id).
     */
-  def appendTermsSegment(spark: SparkSession, indexDir: String,
-      filter: org.apache.spark.sql.Column, codec: String = "zstd"): Unit = {
+  def writeTermsSegment(spark: SparkSession, indexDir: String,
+      filter: org.apache.spark.sql.Column, seg: Long, codec: String = "zstd"): Unit = {
     spark.read.parquet(s"$indexDir/postings")
       .filter(filter)
       .groupBy("term")
       .agg(sum("df").as("df"), sum("cf").as("cf"),
         max("maxTf").as("maxTf"), min("minDl").as("minDl"))
-      .write.mode(SaveMode.Append)
+      .withColumn("seg", lit(seg))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg")
       .option("compression", codec)
       .parquet(s"$indexDir/terms")
   }

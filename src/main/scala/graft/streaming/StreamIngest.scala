@@ -61,11 +61,17 @@ object StreamIngest {
     val hasBase = exists(spark, docsPath)
     if (hasBase) bootstrapSideTables(spark, indexDir)
 
+    // docmeta is the batch COMMIT POINT: pre-batch high-water marks AND
+    // corpus totals come from it alone, and it is overwritten last (just
+    // before the snapshot marker). A retried at-least-once batch therefore
+    // recomputes the identical docIds/buckets/deltas, and the data writes
+    // below are dynamic partition OVERWRITES of the batch's fresh
+    // partitions — a crashed attempt's partial output is replaced, never
+    // double-counted.
     val (maxDocId, maxBucket, oldN, oldTot) =
       if (hasBase) {
         val m = spark.read.parquet(s"$indexDir/docmeta").head()
-        val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
-        (m.getLong(0), m.getInt(1), st.n, st.totalTokens)
+        (m.getLong(0), m.getInt(1), m.getLong(2), m.getLong(3))
       } else (-1L, -1, 0L, 0L)
 
     // ---- recrawl detection, O(batch): partition-pruned urlmap read +
@@ -103,7 +109,22 @@ object StreamIngest {
     val tombstones = admitted.filter(col("oldDocId").isNotNull)
       .select(col("oldDocId").as("docId"), col("oldDoclen").as("doclen"))
 
-    if (fresh.isEmpty) { delete(spark, staging); return }
+    if (fresh.isEmpty) {
+      // crash-window repair: if a prior attempt of this batch died between
+      // its urlmap append and its docmeta commit, the urls are "already
+      // ingested" (data writes are durable — they precede urlmap) but the
+      // high-water marks were never advanced. Re-derive docmeta so the next
+      // batch cannot overwrite the orphaned buckets.
+      if (hasBase) {
+        val seenMax = existing.agg(coalesce(max("docId"), lit(-1L))).head().getLong(0)
+        if (seenMax > maxDocId) {
+          val mm = spark.read.parquet(docsPath).agg(max("docId"), max("bucket")).head()
+          val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+          writeDocMeta(spark, indexDir, mm.getLong(0), mm.getInt(1), st.n, st.totalTokens)
+        }
+      }
+      delete(spark, staging); return
+    }
 
     // deterministic-within-batch id assignment continuing after maxDocId;
     // fresh buckets start beyond the base index's highest bucket. The
@@ -124,18 +145,39 @@ object StreamIngest {
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/assigned")
     val assigned = spark.read.parquet(s"$staging/assigned")
 
-    // docs append in fresh buckets (same layout as the batch build)
+    // docs in fresh buckets (same layout as the batch build); dynamic
+    // overwrite of exactly the batch's dbuckets — retry-safe
     assigned.select("docId", "bucket", "url", "doclen", "version")
       .withColumn("dbucket", col("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "docId")
-      .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docsPath)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dbucket").parquet(docsPath)
 
-    // urlmap append (partition-pruned lookups for future batches)
-    assigned.select(col("url"), col("docId"), col("version"), col("doclen"))
-      .withColumn("urange", urange(col("url")))
-      .repartition(col("urange"))
-      .write.mode(SaveMode.Append).partitionBy("urange").parquet(s"$indexDir/urlmap")
+    // postings for the batch's buckets: dynamic overwrite of those pbuckets
+    val postings = assigned.select("bucket", "docId", "doclen", "terms", "tfs")
+      .as[(Int, Long, Int, Array[String], Array[Int])]
+      .flatMap { case (bucket, docId, dl, terms, tfs) =>
+        terms.indices.iterator.map(i => Posting(bucket, terms(i), docId, tfs(i), dl))
+      }
+    IndexBuilder.writePostingsSegment(spark, postings, s"$indexDir/postings", append = false)
+
+    val fAgg = assigned.agg(
+      coalesce(sum(when(col("doclen") > 0, 1L).otherwise(0L)), lit(0L)).as("cpos"),
+      coalesce(sum("doclen").cast("long"), lit(0L)).as("tok"),
+      max("docId").as("maxId"), max("bucket").as("maxB")).head()
+
+    // ---- term-dictionary SEGMENT seg=snapshotId: aggregate only the
+    // batch's buckets (partition-pruned postings read), dynamic overwrite
+    // of this snapshot's segment; readers sum segments. df/cf of
+    // tombstoned docs remain counted until compact() — a documented upper
+    // bound, harmless to WAND admissibility.
+    val newBuckets = ((maxBucket + 1) to fAgg.getInt(3)).map(Int.box)
+    IndexBuilder.writeTermsSegment(spark, indexDir,
+      col("pbucket").isin(newBuckets: _*), seg = snapshotId)
+    IndexBuilder.appendLineage(spark, indexDir,
+      col("pbucket").isin(newBuckets: _*), snapshotId)
 
     val tombAgg = tombstones.agg(
       count(lit(1)).as("c"),
@@ -145,35 +187,24 @@ object StreamIngest {
       tombstones.select(col("docId"), lit(snapshotId).as("snapshotId"))
         .write.mode(SaveMode.Append).parquet(s"$indexDir/tombstones")
 
-    // ---- incremental stats: O(batch) deltas, never a full-docs rescan.
-    // N counts docs with doclen > 0 only (idf parity with the oracle).
-    val fAgg = assigned.agg(
-      coalesce(sum(when(col("doclen") > 0, 1L).otherwise(0L)), lit(0L)).as("cpos"),
-      coalesce(sum("doclen").cast("long"), lit(0L)).as("tok"),
-      max("docId").as("maxId"), max("bucket").as("maxB")).head()
+    // ---- incremental stats: O(batch) deltas from the docmeta base, never
+    // a full-docs rescan. N counts docs with doclen > 0 only (idf parity
+    // with the oracle). Idempotent under retry: the base is the
+    // still-uncommitted docmeta.
     val n = oldN + fAgg.getLong(0) - tombAgg.getLong(1)
     val tot = oldTot + fAgg.getLong(1) - tombAgg.getLong(2)
     Seq(CorpusStats(n, tot.toDouble / n.toDouble, tot, snapshotId)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-    writeDocMeta(spark, indexDir, fAgg.getLong(2), fAgg.getInt(3))
 
-    // postings append: only the batch's buckets
-    val postings = assigned.select("bucket", "docId", "doclen", "terms", "tfs")
-      .as[(Int, Long, Int, Array[String], Array[Int])]
-      .flatMap { case (bucket, docId, dl, terms, tfs) =>
-        terms.indices.iterator.map(i => Posting(bucket, terms(i), docId, tfs(i), dl))
-      }
-    IndexBuilder.writePostingsSegment(spark, postings, s"$indexDir/postings", append = true)
+    // urlmap append (partition-pruned lookups for future batches; duplicate
+    // rows from a retried batch are collapsed by the max-struct read)
+    assigned.select(col("url"), col("docId"), col("version"), col("doclen"))
+      .withColumn("urange", urange(col("url")))
+      .repartition(col("urange"))
+      .write.mode(SaveMode.Append).partitionBy("urange").parquet(s"$indexDir/urlmap")
 
-    // ---- term-dictionary SEGMENT: aggregate only the batch's buckets
-    // (partition-pruned postings read), appended; readers sum segments.
-    // df/cf of tombstoned docs remain counted until compact() — a
-    // documented upper bound, harmless to WAND admissibility.
-    val newBuckets = ((maxBucket + 1) to fAgg.getInt(3)).map(Int.box)
-    IndexBuilder.appendTermsSegment(spark, indexDir,
-      col("pbucket").isin(newBuckets: _*))
-    IndexBuilder.appendLineage(spark, indexDir,
-      col("pbucket").isin(newBuckets: _*), snapshotId)
+    // COMMIT: advance the high-water marks + totals, then the snapshot row
+    writeDocMeta(spark, indexDir, fAgg.getLong(2), fAgg.getInt(3), n, tot)
     IndexBuilder.commitSnapshot(spark, indexDir, snapshotId, n)
     delete(spark, staging)
   }
@@ -183,6 +214,7 @@ object StreamIngest {
     * table. O(index) ONCE, then every append is O(batch).
     */
   def bootstrapSideTables(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
     val docsR = () => spark.read.parquet(s"$indexDir/docs")
     if (!exists(spark, s"$indexDir/urlmap"))
       docsR().select(col("url"), col("docId"), col("version"), col("doclen"))
@@ -191,15 +223,25 @@ object StreamIngest {
         .write.mode(SaveMode.Overwrite).partitionBy("urange").parquet(s"$indexDir/urlmap")
     if (!exists(spark, s"$indexDir/docmeta")) {
       val mm = docsR().agg(max("docId"), max("bucket")).head()
-      writeDocMeta(spark, indexDir, mm.getLong(0), mm.getInt(1))
+      val st = spark.read.parquet(s"$indexDir/stats").as[CorpusStats].head()
+      writeDocMeta(spark, indexDir, mm.getLong(0), mm.getInt(1), st.n, st.totalTokens)
     }
   }
 
-  private def writeDocMeta(spark: SparkSession, indexDir: String, maxDocId: Long, maxBucket: Int): Unit = {
+  private def writeDocMeta(spark: SparkSession, indexDir: String, maxDocId: Long,
+      maxBucket: Int, n: Long, totalTokens: Long): Unit = {
     import spark.implicits._
-    Seq((maxDocId, maxBucket)).toDF("maxDocId", "maxBucket")
+    Seq((maxDocId, maxBucket, n, totalTokens))
+      .toDF("maxDocId", "maxBucket", "n", "totalTokens")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docmeta")
   }
+
+  /** Refresh docmeta after a maintenance op changed corpus totals. */
+  private def refreshDocMeta(spark: SparkSession, indexDir: String, n: Long, tot: Long): Unit =
+    if (exists(spark, s"$indexDir/docmeta")) {
+      val mm = spark.read.parquet(s"$indexDir/docs").agg(max("docId"), max("bucket")).head()
+      writeDocMeta(spark, indexDir, mm.getLong(0), mm.getInt(1), n, tot)
+    }
 
   /** W4 — delete-by-query: tombstone every doc matching a predicate over
     * the docs table (reference `deleteByQuery`-style predicate delete); the
@@ -223,6 +265,7 @@ object StreamIngest {
       val tot = st.totalTokens - dead.getLong(1)
       Seq(CorpusStats(n, tot.toDouble / math.max(1L, n).toDouble, tot, snapshotId)).toDS()
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+      refreshDocMeta(spark, indexDir, n, tot)
     }
     c
   }
@@ -313,6 +356,7 @@ object StreamIngest {
       st.snapshotId + 1)).toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
     IndexBuilder.writeTermsFromPostings(spark, indexDir)
+    refreshDocMeta(spark, indexDir, agg.getLong(0), agg.getLong(1))
     tombs.unpersist()
     delete(spark, s"$indexDir/tombstones")
     delete(spark, staging)
