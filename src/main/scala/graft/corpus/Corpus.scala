@@ -69,6 +69,15 @@ object Corpus {
     spark.range(0L, nDocs, 1L, parts).map(i => syntheticPage(i, seed))
   }
 
+  /** Pages for an id range [start, end) — fresh urls disjoint from any
+    * [0, n) corpus (page ids are the url key), for append benchmarks.
+    */
+  def syntheticRange(spark: SparkSession, start: Long, end: Long, seed: Long = 42L,
+      parts: Int = 32): Dataset[PageDoc] = {
+    import spark.implicits._
+    spark.range(start, end, 1L, parts).map(i => syntheticPage(i, seed))
+  }
+
   private def zipfIdx(rnd: scala.util.Random, n: Int): Int = {
     // inverse-CDF-ish skewed pick: P(k) ∝ 1/(k+1)^1.1
     val u = rnd.nextDouble()

@@ -188,30 +188,39 @@ object IndexBuilder {
         .parquet(stage)
     }
 
-    // ---- phase 1: docs table = cheap projection of the stage ----
+    // ---- phase 1+2 fused: docs table write with corpus stats OBSERVED on
+    // the same pass (no separate stats scan). avgdl as an explicit
+    // sum/count double division so oracles reproduce it bit-exactly.
+    // N counts docs with doclen > 0 ONLY — the exhaustive oracle (and any
+    // SQL deriving N from a token CTE) never sees token-less docs, and idf
+    // must agree bit-for-bit ----
+    val obs = org.apache.spark.sql.Observation()
     phase("docs-write") {
       spark.read.parquet(stage)
         .select(col("docId"), col("bucket"), col("url"), col("doclen"), col("version"))
         .withColumn("dbucket", col("bucket"))
         .repartition(cfg.numBuckets, col("bucket"))
         .sortWithinPartitions("bucket", "docId")
+        .observe(obs,
+          sum(when(col("doclen") > 0, 1L).otherwise(0L)).as("n"),
+          sum(col("doclen").cast("long")).as("tot"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("dbucket")
         .option("compression", cfg.parquetCodec)
         .parquet(s"$indexDir/docs")
     }
-
-    // ---- phase 2: corpus stats (over the full on-disk docs table);
-    // avgdl as an explicit sum/count double division so oracles reproduce
-    // it bit-exactly. N counts docs with doclen > 0 ONLY — the exhaustive
-    // oracle (and any SQL deriving N from a token CTE) never sees
-    // token-less docs, and idf must agree bit-for-bit ----
-    val docsR = spark.read.parquet(s"$indexDir/docs")
-    val st = phase("stats")(docsR.filter(col("doclen") > 0)
-      .agg(count(lit(1)).as("n"), sum(col("doclen")).as("tot")).head())
-    val n = st.getLong(0)
-    val totalTokens = st.getLong(1)
+    val st = obs.get
+    // resume runs skip already-built buckets in the stage, so the observed
+    // totals cover only the rewritten docs — fall back to a full-docs scan
+    val (n, totalTokens) = phase("stats") {
+      if (doneBuckets.isEmpty) (st("n").asInstanceOf[Long], st("tot").asInstanceOf[Long])
+      else {
+        val r = spark.read.parquet(s"$indexDir/docs").filter(col("doclen") > 0)
+          .agg(count(lit(1)), sum(col("doclen"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
     val avgdl = totalTokens.toDouble / n.toDouble
     val stats = CorpusStats(n, avgdl, totalTokens, cfg.snapshotId)
     Seq(stats).toDS().write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")

@@ -396,6 +396,15 @@ object StreamIngest {
         col("docId") === col("h_docId"), "left_anti")
       .unionByName(hits.select("docId", "bucket", "url", "doclen", "version"))
       .write.mode(SaveMode.Overwrite).parquet(staging)
+    // keep the recrawl-lookup table in step BEFORE overwriting docs (hits
+    // reads docs — staging discipline): the upserted rows' new versions
+    // must win the max-struct read, or a later append would re-admit an
+    // intermediate version
+    if (exists(spark, s"$indexDir/urlmap"))
+      hits.select(col("url"), col("docId"), col("version"), col("doclen"))
+        .withColumn("urange", urange(col("url")))
+        .repartition(col("urange"))
+        .write.mode(SaveMode.Append).partitionBy("urange").parquet(s"$indexDir/urlmap")
     spark.read.parquet(staging)
       .withColumn("dbucket", col("bucket"))
       .repartition(col("bucket"))

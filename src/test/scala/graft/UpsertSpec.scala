@@ -78,6 +78,30 @@ class UpsertSpec extends SparkSpecBase {
     assert(StreamIngest.upsertDocs(spark, updates, dir) === 0L)
   }
 
+  test("upsert keeps the urlmap recrawl-lookup in step") {
+    val pages = Corpus.synthetic(120, seed = 53L)
+    val dir = Files.createTempDirectory("ups-idx3").toString
+    graft.index.IndexBuilder.build(spark,
+      spark.createDataset(pages)(Encoders.product[PageDoc]), dir,
+      graft.index.IndexBuilder.Config(numBuckets = 4))
+    StreamIngest.bootstrapSideTables(spark, dir)
+    import spark.implicits._
+    val victim = pages.head.url
+    val updates = Seq((victim, Long.MaxValue - 1)).toDF("url", "version")
+    assert(StreamIngest.upsertDocs(spark, updates, dir) === 1L)
+    val v = spark.read.parquet(s"$dir/urlmap").filter(col("url") === victim)
+      .agg(max("version")).head().getLong(0)
+    assert(v === Long.MaxValue - 1, "urlmap must reflect the upserted version")
+    // a stale intermediate recrawl must now be rejected by appendBatch
+    val stale = pages.head.copy(warc_ts = new java.sql.Timestamp(
+      pages.head.warc_ts.getTime + 86400000L))
+    StreamIngest.appendBatch(spark,
+      spark.createDataset(Seq(stale))(Encoders.product[PageDoc]), dir,
+      bucketSize = 64, snapshotId = 9)
+    assert(spark.read.parquet(s"$dir/docs").count() === 120L,
+      "intermediate-version recrawl must be dropped after upsert")
+  }
+
   test("deleteByQuery tombstones matching docs and shrinks stats") {
     val pages = Corpus.synthetic(300, seed = 37L)
     val dir = Files.createTempDirectory("dbq-idx").toString
