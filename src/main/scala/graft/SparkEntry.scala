@@ -78,6 +78,10 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(TextOps.documents(s, d), n = 3, k = 8, bands = 4,
         minEstJaccard = 0.25).orderBy("id_a", "id_b")),
+    "q_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(TextOps.documents(s, d), w = 10).orderBy("doc_id")),
+    "q_rep_signals" -> ((s, d) =>
+      TextOps.repetitionSignals(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_simhash_pairs" -> ((s, d) =>
       // radius 3 with 4 disjoint 16-bit bands: candidate recall is COMPLETE
       // by pigeonhole (bands = maxHamming + 1)
@@ -94,6 +98,11 @@ object SparkEntry {
       val e = Similarity.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 10)
         .orderBy("query_id", "rank")
+    }),
+    "q_ann_recall" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.ivfRecall(e, e.filter(col("vec_id") < 3), k = 10)
+        .orderBy("query_id")
     }),
     "q_embed_neardup" -> ((s, d) =>
       // threshold calibrated to the harness corpus (synthetic embeddings
@@ -196,23 +205,54 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** IVF oracle: exact SQL twin — same centroid seeds (16 lowest vec_ids),
+  /** Refined-centroid CTE chain, shared by the IVF-family oracles: the 16
+    * lowest-vec_id seeds, one deterministic Lloyd iteration with QUANTIZED
+    * per-dimension sums (`floor(x*1e6+0.5)::BIGINT` — integer addition
+    * commutes, so the mean is bit-identical to Spark's regardless of
+    * reduction order), then the refined assignment. Produces `cents
+    * (cent_id, cvec DOUBLE[])`, `assigned(vec_id, cent_id)` and
+    * `cd(vec_id, cent_id, cdist)` over the refined centroids — the exact
+    * twin of `Similarity.ivfCentroids` + `nearestCentroidCol`.
+    */
+  private val refinedCentsSql =
+    """cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+      |a0i AS (SELECT e.vec_id, c0.cent_id, e.embedding AS ev, c0.cvec AS cv,
+      |               unnest(generate_series(1, len(e.embedding))) AS i
+      |        FROM embeddings e CROSS JOIN cents0 c0),
+      |a0d AS (SELECT vec_id, cent_id,
+      |          sum((ev[i]::DOUBLE) * (cv[i]::DOUBLE) ORDER BY i) /
+      |          (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((cv[i]::DOUBLE) * (cv[i]::DOUBLE) ORDER BY i))) AS cdist
+      |        FROM a0i GROUP BY 1, 2),
+      |asg0 AS (SELECT vec_id, cent_id FROM
+      |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS r FROM a0d)
+      |  WHERE r = 1),
+      |edim AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |upd AS (SELECT a.cent_id, edim.i,
+      |          sum(floor((edim.embedding[edim.i]::DOUBLE) * 1000000.0 + 0.5)::BIGINT) AS sq,
+      |          count(*)::BIGINT AS n
+      |        FROM asg0 a JOIN edim USING (vec_id) GROUP BY 1, 2),
+      |cents AS (SELECT c0.cent_id,
+      |            coalesce(cu.cvec, list_transform(c0.cvec, x -> x::DOUBLE)) AS cvec
+      |          FROM cents0 c0 LEFT JOIN
+      |            (SELECT cent_id, list(sq::DOUBLE / (n * 1000000.0) ORDER BY i) AS cvec FROM upd GROUP BY 1) cu
+      |          USING (cent_id)),
+      |cei AS (SELECT e.vec_id, cents.cent_id, e.embedding AS ev, cents.cvec AS cv,
+      |               unnest(generate_series(1, len(e.embedding))) AS i
+      |        FROM embeddings e CROSS JOIN cents),
+      |cd AS (SELECT vec_id, cent_id,
+      |         sum((ev[i]::DOUBLE) * (cv[i])  ORDER BY i) /
+      |         (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((cv[i]) * (cv[i]) ORDER BY i))) AS cdist
+      |       FROM cei GROUP BY 1, 2),
+      |assigned AS (SELECT vec_id, cent_id FROM
+      |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd)
+      |  WHERE crank = 1)""".stripMargin
+
+  /** IVF oracle: exact SQL twin — same seeds + Lloyd-refined centroids,
     * same nearest-centroid assignment and 4-probe, same ordered-summation
     * cosine, same (cosine desc, vec_id asc) ranking.
     */
   private def ivfSql: String =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id ASC LIMIT 16),
-      |ev AS (SELECT vec_id, embedding FROM embeddings),
-      |cei AS (SELECT ev.vec_id, cents.cent_id, ev.embedding AS e, cents.cvec AS c,
-      |               unnest(generate_series(1, len(ev.embedding))) AS i
-      |        FROM ev CROSS JOIN cents),
-      |cd AS (SELECT vec_id, cent_id,
-      |         sum((e[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i) /
-      |         (sqrt(sum((e[i]::DOUBLE) * (e[i]::DOUBLE) ORDER BY i)) * sqrt(sum((c[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i))) AS cdist
-      |       FROM cei GROUP BY 1, 2),
-      |assigned AS (SELECT vec_id, cent_id FROM
-      |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd)
-      |  WHERE crank = 1),
+    s"""WITH $refinedCentsSql,
       |probed AS (SELECT vec_id AS query_id, cent_id FROM
       |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd WHERE vec_id < 3)
       |  WHERE crank <= 4),
@@ -232,6 +272,44 @@ object SparkEntry {
       |           FROM scored)
       |SELECT query_id, rank, vec_id, round(cosine_raw, 4) AS cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@10 oracle: IVF ranked set (refined centroids) left-joined onto
+    * the brute-force exact ranked set, per query.
+    */
+  private def recallSql: String =
+    s"""WITH $refinedCentsSql,
+      |probed AS (SELECT vec_id AS query_id, cent_id FROM
+      |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd WHERE vec_id < 3)
+      |  WHERE crank <= 4),
+      |cand AS (SELECT p.query_id, a.vec_id FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+      |         WHERE a.vec_id <> p.query_id),
+      |pairsi AS (SELECT c.query_id, c.vec_id, q.embedding AS qv, e.embedding AS ev,
+      |                  unnest(generate_series(1, len(e.embedding))) AS i
+      |           FROM cand c
+      |           JOIN embeddings q ON q.vec_id = c.query_id
+      |           JOIN embeddings e ON e.vec_id = c.vec_id),
+      |iscored AS (SELECT query_id, vec_id,
+      |             sum((ev[i]::DOUBLE) * (qv[i]::DOUBLE) ORDER BY i) /
+      |             (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((qv[i]::DOUBLE) * (qv[i]::DOUBLE) ORDER BY i))) AS c
+      |           FROM pairsi GROUP BY 1, 2),
+      |ivfr AS (SELECT query_id, vec_id FROM
+      |  (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS r FROM iscored)
+      |  WHERE r <= 10),
+      |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+      |bfi AS (SELECT qv.query_id, e.vec_id, e.embedding AS ev, qv.qvec,
+      |               unnest(generate_series(1, len(e.embedding))) AS i
+      |        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+      |bfs AS (SELECT query_id, vec_id,
+      |          sum((ev[i]::DOUBLE) * (qvec[i]::DOUBLE) ORDER BY i) /
+      |          (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((qvec[i]::DOUBLE) * (qvec[i]::DOUBLE) ORDER BY i))) AS c
+      |        FROM bfi GROUP BY 1, 2),
+      |bfr AS (SELECT query_id, vec_id FROM
+      |  (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS r FROM bfs)
+      |  WHERE r <= 10)
+      |SELECT b.query_id, count(*)::BIGINT AS n_exact, count(iv.vec_id)::BIGINT AS hits,
+      |       round(count(iv.vec_id)::DOUBLE / count(*)::DOUBLE + 1.0e-9, 4) AS recall
+      |FROM bfr b LEFT JOIN ivfr iv ON b.query_id = iv.query_id AND b.vec_id = iv.vec_id
+      |GROUP BY 1 ORDER BY b.query_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus_stats" ->
@@ -318,6 +396,35 @@ object SparkEntry {
          |WHERE round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE + 1.0e-9, 4) >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_lsh" -> minhashSql,
+    "q_chunk_dedup" ->
+      """WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |chidx AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS i FROM arrs WHERE len(toks) > 0),
+        |ch AS (SELECT doc_id, i::BIGINT AS chunk_idx,
+        |              md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS chunk_hash,
+        |              len(toks[(i*10+1):(i*10+10)])::BIGINT AS chunk_toks
+        |       FROM chidx),
+        |occ AS (SELECT doc_id, chunk_toks,
+        |               count(*) OVER (PARTITION BY chunk_hash) AS occ,
+        |               row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+        |        FROM ch)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |       sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_chunks,
+        |       sum(CASE WHEN rn = 1 THEN chunk_toks ELSE 0 END)::BIGINT AS kept_tokens
+        |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_rep_signals" ->
+      s"""WITH $TOK,
+        |tokagg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_distinct FROM tok GROUP BY 1),
+        |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |gidx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM arrs WHERE len(toks) >= 2),
+        |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM gidx),
+        |gc AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct_grams, max(cnt)::BIGINT AS top_gram_cnt FROM gc GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(1.0 - n_distinct::DOUBLE / n_tokens::DOUBLE + 1.0e-9, 4) AS dup_tok_ratio,
+        |  round(coalesce(1.0 - n_distinct_grams::DOUBLE / n_grams::DOUBLE, 0.0) + 1.0e-9, 4) AS dup_2gram_ratio,
+        |  round(coalesce(top_gram_cnt::DOUBLE / n_grams::DOUBLE, 0.0) + 1.0e-9, 4) AS top_2gram_frac
+        |FROM tokagg LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
@@ -407,19 +514,10 @@ object SparkEntry {
         |ORDER BY doc_id, frame""".stripMargin,
     "q_simhash_pairs" -> simhashSql,
     "q_ann_ivf" -> ivfSql,
+    "q_ann_recall" -> recallSql,
 
     "q_embed_neardup" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id ASC LIMIT 16),
-        |cei AS (SELECT e.vec_id, cents.cent_id, e.embedding AS ev, cents.cvec AS c,
-        |               unnest(generate_series(1, len(e.embedding))) AS i
-        |        FROM embeddings e CROSS JOIN cents),
-        |cd AS (SELECT vec_id, cent_id,
-        |         sum((ev[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i) /
-        |         (sqrt(sum((ev[i]::DOUBLE) * (ev[i]::DOUBLE) ORDER BY i)) * sqrt(sum((c[i]::DOUBLE) * (c[i]::DOUBLE) ORDER BY i))) AS cdist
-        |       FROM cei GROUP BY 1, 2),
-        |assigned AS (SELECT vec_id, cent_id FROM
-        |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd)
-        |  WHERE crank = 1),
+      s"""WITH $refinedCentsSql,
         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |       FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
         |pi AS (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb,

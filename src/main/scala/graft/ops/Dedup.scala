@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data curation at scale:
@@ -64,6 +65,46 @@ object Dedup {
           (col("size_a") + col("size_b") - col("common")).cast("double") + lit(1.0e-9), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+  }
+
+  /** Span-level (chunk) dedup, C4-style: the corpus is cut into
+    * non-overlapping `w`-token chunks; a chunk occurrence survives iff it is
+    * the FIRST occurrence of that chunk text corpus-wide (first = lowest
+    * (doc_id, chunk_idx)). Returns per-doc counts: total chunks, duplicated
+    * chunks (text seen elsewhere), kept chunks, and kept token mass — the
+    * inputs to a duplicate-span removal pass.
+    *
+    * Scale shape: chunking is a NARROW transform over the token array (no
+    * per-token shuffle); the only shuffle is the groupBy on the chunk hash,
+    * whose key cardinality grows with the corpus (uniform md5 keys, no head
+    * skew — unlike shingles, chunks are position-anchored so a stop-phrase
+    * cannot dominate a bucket).
+    */
+  def chunkDedup(docs: DataFrame, w: Int = 10): DataFrame = {
+    val toks = col("toks")
+    val nChunks = ((size(toks) + lit(w - 1)) / lit(w)).cast("int")
+    val chunks = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .filter(size(toks) > 0) // guard BEFORE sequence() — empty docs contribute nothing
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => struct(
+            concat_ws(" ", slice(toks, i * w + 1, lit(w))).as("chunk"),
+            size(slice(toks, i * w + 1, lit(w))).cast("bigint").as("chunk_toks")))))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_idx"),
+        md5(col("col.chunk")).as("chunk_hash"), col("col.chunk_toks").as("chunk_toks"))
+    val w1 = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunks
+      .withColumn("occ", count(lit(1)).over(w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("first", row_number().over(w1) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(col("first"), col("chunk_toks")).otherwise(0L)).as("kept_tokens"))
   }
 
   /** A deterministic 32-bit-ish hash family over strings, built from md5 so

@@ -44,15 +44,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
   }
 
-  /** Collected centroid seeds: the C lowest vec_ids (deterministic,
-    * k-means-free v1). C is small and bounded → a driver-side array is the
-    * broadcast-literal side of every assignment.
+  /** Collected centroid seeds: the C lowest vec_ids (deterministic). C is
+    * small and bounded → a driver-side array is the broadcast-literal side
+    * of every assignment.
     */
-  private def centroidSeeds(corpus: DataFrame, centroids: Int): Seq[(Int, Seq[Float])] =
+  private def centroidSeeds(corpus: DataFrame, centroids: Int): Seq[(Int, Seq[Double])] =
     corpus.orderBy(col("vec_id").asc).limit(centroids)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+
+  /** Deterministic Lloyd refinement of the seed centroids. Each iteration
+    * assigns every vector to its nearest current centroid (narrow argmax,
+    * one scan) and recomputes per-cluster means. The per-dimension sums run
+    * in QUANTIZED integer space — `floor(x*1e6 + 0.5)` as long — so the
+    * reduction is order-independent (integer addition commutes exactly,
+    * unlike float addition under Spark's nondeterministic partial-agg
+    * order) and therefore bit-reproducible by the SQL oracle. The mean is
+    * `sumQ / (n * 1e6)`, one IEEE division on identical operands in both
+    * engines. Clusters that receive no vectors keep their previous
+    * centroid (cannot happen with in-corpus seeds: a seed has cosine 1
+    * with itself, but guarded anyway).
+    *
+    * Per iteration: one scan + one (cent_id, dim) groupBy of C*dims cells —
+    * the shuffle is O(C*dims), independent of corpus size, and the driver
+    * collects only C*dims tiny rows. This is the standard scalable k-means
+    * step; at 100 TB the cost is the scans, not the update.
+    */
+  private[graft] def refineCentroids(corpus: DataFrame,
+      seeds: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        // cent_id via withColumn BEFORE the generator select: a generator
+        // select re-resolves sibling expressions and strips struct-field
+        // aliases inside nearestCentroidCol's argmax
+        .withColumn("cent_id", nearestCentroidCol(col("embedding"), cents))
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cent_id", "i")
+        .agg(sum(floor(col("v").cast("double") * 1e6 + lit(0.5)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      cents = cents.map { case (cid, prev) =>
+        cid -> sums.get(cid).map { cells =>
+          cells.sortBy(_._2).map { case (_, _, sq, n) => sq.toDouble / (n * 1e6) }.toSeq
+        }.getOrElse(prev)
+      }
+    }
+    cents
+  }
+
+  /** Refined centroids for the IVF family: deterministic seeds + `IvfIters`
+    * Lloyd iterations (pinned so the SQL oracle can reproduce them). */
+  private[graft] val IvfIters = 1
+  private def ivfCentroids(corpus: DataFrame, centroids: Int): Seq[(Int, Seq[Double])] =
+    refineCentroids(corpus, centroidSeeds(corpus, centroids), IvfIters)
 
   /** Nearest-centroid id as a NARROW column expression: argmax over the
     * inlined centroid vectors via `array_max` on (cdist, -cent_id) structs —
@@ -64,7 +112,7 @@ object Similarity {
     * cdist first, then -cent_id: max ≡ (cdist desc, cent_id asc) rank 1.
     */
   private def nearestCentroidCol(vecCol: org.apache.spark.sql.Column,
-      seeds: Seq[(Int, Seq[Float])]): org.apache.spark.sql.Column = {
+      seeds: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
     val n = norm(vecCol)
     val scored = seeds.map { case (cid, v) =>
       val cvec = typedlit(v)
@@ -80,13 +128,13 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, centroids: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    val seeds = centroidSeeds(corpus, centroids)
+    val refined = ivfCentroids(corpus, centroids)
     val assigned = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("cent_id", nearestCentroidCol(col("embedding"), seeds))
+      .withColumn("cent_id", nearestCentroidCol(col("embedding"), refined))
     // query side is small — the explode+window probe ranking is fine there
-    val cents = broadcast(
-      corpus.orderBy(col("vec_id").asc).limit(centroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(refined.toDF("cent_id", "cvec"))
     val probed = {
       val scored = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
         .crossJoin(cents)
@@ -107,6 +155,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
   }
 
+  /** Recall@k of the IVF path against the brute-force exact ranking, per
+    * query — the self-check that turns "approximate" into a measured
+    * contract. Both sides are the operators above; the join is tiny
+    * (queries × k rows).
+    */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopK(corpus, queries, k, centroids, nprobe)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / col("n_exact") + lit(1.0e-9), 4))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors sharing a
     * centroid bucket are candidates (the standard blocked near-dup shape —
     * the pair join is bucket-local, never all-pairs), kept when cosine ≥
@@ -116,9 +181,9 @@ object Similarity {
     */
   def embeddingNearDups(corpus: DataFrame, minCosine: Double = 0.9,
       centroids: Int = 16): DataFrame = {
-    val seeds = centroidSeeds(corpus, centroids)
+    val refined = ivfCentroids(corpus, centroids)
     val assigned = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("cent_id", nearestCentroidCol(col("embedding"), seeds))
+      .withColumn("cent_id", nearestCentroidCol(col("embedding"), refined))
       .select(col("cent_id"), col("vec_id"), col("embedding"))
     val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"), col("embedding").as("vb"))

@@ -87,6 +87,42 @@ object TextOps {
     tokens(docs).groupBy("doc_id")
       .agg(md5(concat_ws(" ", array_sort(collect_set(col("term"))))).as("fingerprint"))
 
+  /** Repetition signals (Gopher-style quality rules): per-doc duplicate
+    * token fraction, duplicate 2-gram fraction, and the fraction of 2-grams
+    * taken by the single most frequent 2-gram. High values flag boilerplate
+    * / spam / generated loops — standard web-corpus filters.
+    *
+    * Scale shape: both aggregations are keyed by (doc_id[, gram]) — per-doc
+    * groups, uniform keys, map-side partial aggregation; no corpus-wide
+    * state.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val t = tokens(docs)
+    val tokAgg = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      count_distinct(col("term")).as("n_distinct"))
+    val grams = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("gram"))
+    val gramAgg = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("cnt")).as("top_gram_cnt"))
+    tokAgg.join(gramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens") + lit(1.0e-9), 4)
+          .as("dup_tok_ratio"),
+        round(coalesce(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), lit(0.0)) + lit(1.0e-9), 4)
+          .as("dup_2gram_ratio"),
+        round(coalesce(col("top_gram_cnt").cast("double") / col("n_grams"), lit(0.0)) + lit(1.0e-9), 4)
+          .as("top_2gram_frac"))
+  }
+
   /** Heuristic language ID from per-language stopword hit counts.
     * Deterministic tie-break by language code.
     */
