@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
-import graft.query.{Bm25Sql, QueryEngine}
+import graft.query.{Bm25Sql, QueryEngine, SearchOps}
 import graft.sources.Discovery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,6 +43,18 @@ object SparkEntry {
       TextOps.doclens(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_bm25_topk" -> ((s, d) => Bm25Sql.topK(s, d)),
     "q_wand_topk" -> ((s, d) => wandTopK(s, d)),
+    "q_bool_and" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      QueryEngine.topKAnd(s, idx, RefQueries.set, RefQueries.K).toDF()
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_facet_counts" -> ((s, d) =>
+      SearchOps.facetCounts(TextOps.documents(s, d), RefQueries.set, "lang")
+        .orderBy("query_id", "lang")),
+    "q_phrase_match" -> ((s, d) =>
+      SearchOps.phraseCounts(TextOps.documents(s, d)).orderBy("phrase_id", "doc_id")),
     "q_index_termstats" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
       // terms may hold several append segments — aggregate on read
@@ -158,6 +170,50 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
+  /** Conjunctive twin of bm25Sql: identical scoring, restricted to docs
+    * matching EVERY term of the query (matched-term count == query arity).
+    */
+  private def boolAndSql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |qn AS (SELECT query_id, count(*)::BIGINT AS nt FROM q GROUP BY 1),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score,
+       |    count(*)::BIGINT AS matched
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |conj AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN qn USING (query_id) WHERE s.matched = qn.nt),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM conj)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
+  /** match_phrase oracle, generated from SearchOps.Phrases so the fixture
+    * set has exactly one definition.
+    */
+  private def phraseSql: String = {
+    val ctes = graft.query.SearchOps.Phrases.map { case (pid, ptext) =>
+      val ws = graft.textprep.TextPrep.tokenize(ptext)
+      val n = ws.length
+      val conds = ws.zipWithIndex.map { case (w, j) =>
+        if (j == 0) s"toks[i] = '$w'" else s"toks[i+$j] = '$w'"
+      }.mkString(" AND ")
+      s"""m_$pid AS (SELECT '$pid' AS phrase_id, doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n)
+         |  WHERE $conds GROUP BY 1, 2)""".stripMargin
+    }
+    val union = graft.query.SearchOps.Phrases.map { case (pid, _) => s"SELECT * FROM m_$pid" }
+      .mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY phrase_id, doc_id""".stripMargin
+  }
 
   private def shinglesSql(n: Int): String =
     s"""arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
@@ -327,6 +383,16 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25_topk" -> bm25Sql,
     "q_wand_topk" -> bm25Sql, // WAND must be rank-identical to the oracle
+    "q_bool_and" -> boolAndSql,
+    "q_facet_counts" ->
+      s"""WITH $TOK,
+         |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+         |m AS (SELECT DISTINCT q.query_id, dt.doc_id
+         |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term)
+         |SELECT query_id, lang, count(*)::BIGINT AS n_docs
+         |FROM m JOIN documents USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin,
+    "q_phrase_match" -> phraseSql,
     "q_index_termstats" ->
       s"""WITH $TOK
          |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,

@@ -105,6 +105,123 @@ object QueryEngine {
       .as[ScoredDoc]
   }
 
+  /** Conjunctive (bool-must / AND) BM25 top-k: a doc qualifies only if it
+    * contains EVERY query term — the ES `bool.must` analog over the same
+    * index. Same scatter-gather shape as `topK`; per bucket the cursor set
+    * runs a leapfrog intersection instead of WAND (the rarest term drives
+    * the cost — block skip metadata makes each advanceTo sub-linear).
+    * Scores are identical BM25 sums, so results are rank-identical to the
+    * exhaustive relational oracle restricted to all-terms-matched docs.
+    */
+  def topKAnd(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] = {
+    import spark.implicits._
+    val qTerms: Seq[(String, Array[String])] =
+      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    val stats = loadStats(spark, indexDir)
+    val tstats = loadTermStats(spark, indexDir, allTerms)
+    // queries with a globally-absent term can never match conjunctively
+    val live = qTerms.filter(_._2.forall(tstats.contains))
+    if (live.isEmpty) return spark.emptyDataset[ScoredDoc]
+    val liveTerms = live.flatMap(_._2).distinct
+
+    val qTermsB = spark.sparkContext.broadcast(live)
+    val tstatsB = spark.sparkContext.broadcast(tstats)
+    val n = stats.n
+    val avgdl = stats.avgdl
+    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir))
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(liveTerms: _*))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+        val ts = tstatsB.value
+        qTermsB.value.iterator.flatMap { case (qid, terms) =>
+          // buckets are docId-disjoint: a doc can only match where ALL its
+          // query terms have postings in this bucket
+          if (!terms.forall(byTerm.contains)) Iterator.empty
+          else conjunctiveBucket(qid, terms, byTerm, ts, n, avgdl, k, tombB.value).iterator
+        }
+      }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("queryId")).orderBy(col("score").desc, col("docId").asc)
+    perBucket.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("queryId"), col("rank").cast("int").as("rank"), col("docId"), col("score"))
+      .as[ScoredDoc]
+  }
+
+  /** Leapfrog intersection + BM25 scoring over one bucket. `terms` must be
+    * sorted ascending (summation order) and all present in `byTerm`.
+    */
+  private[query] def conjunctiveBucket(
+      qid: String,
+      terms: Seq[String],
+      byTerm: Map[String, TermPostings],
+      tstats: Map[String, TermStats],
+      n: Long,
+      avgdl: Double,
+      k: Int,
+      tombstones: Set[Long] = Set.empty
+  ): Seq[ScoredDoc] = {
+    val ordered = terms.sorted
+    val cursors: Array[TermCursor] = ordered.map { t =>
+      new TermCursor(t, Bm25.idf(n, tstats(t).df), byTerm(t).blocks.toIndexedSeq, avgdl)
+    }.toArray
+    val weakestFirst: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)](e => (-e._1, e._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](weakestFirst)
+    def offer(score: Double, docId: Long): Unit = {
+      if (heap.size < k) heap.enqueue((score, docId))
+      else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, docId)) }
+    }
+    var done = cursors.exists(_.exhausted)
+    while (!done) {
+      var target = Long.MinValue
+      var ci = 0
+      while (ci < cursors.length) {
+        if (cursors(ci).curDoc > target) target = cursors(ci).curDoc
+        ci += 1
+      }
+      var aligned = true
+      ci = 0
+      while (ci < cursors.length && !done) {
+        val c = cursors(ci)
+        if (c.curDoc < target) { c.advanceTo(target); aligned = false }
+        if (c.exhausted) done = true
+        ci += 1
+      }
+      if (!done && aligned) {
+        // all cursors at target: full evaluation in ascending term order
+        var score = 0.0
+        var si = 0
+        while (si < cursors.length) {
+          val c = cursors(si)
+          score += c.idf * Bm25.partial(c.curTf, c.curDl, avgdl)
+          si += 1
+        }
+        if (!tombstones.contains(target)) offer(score, target)
+        var ai = 0
+        while (ai < cursors.length) {
+          cursors(ai).advance()
+          if (cursors(ai).exhausted) done = true
+          ai += 1
+        }
+      }
+    }
+    val best = heap.dequeueAll.toArray.sortBy { case (s, d) => (-s, d) }
+    best.take(k).zipWithIndex.map { case ((s, d), i) => ScoredDoc(qid, i + 1, d, s) }.toSeq
+  }
+
   // ------------------------------------------------------------------ WAND
 
   /** Streaming cursor over one term's compressed blocks in one bucket.
