@@ -20,6 +20,23 @@ object IndexCache {
       dir
     })
 
+  private val posBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Positional sidecar over the harness corpus (once per sfDir per JVM). */
+  def positionsForDocuments(spark: SparkSession, sfDir: String): String =
+    posBuilt.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pos").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = math.max(1L, docs.count())
+      val bucketSize = math.max(1L, (n + NumBuckets - 1) / NumBuckets)
+      val assigned = docs.select(
+        col("doc_id").cast("long").as("docId"),
+        (col("doc_id").cast("long") / bucketSize).cast("int").as("bucket"),
+        col("text"))
+      graft.index.Positions.build(spark, assigned, dir, NumBuckets)
+      dir
+    })
+
   def buildDocumentsIndex(spark: SparkSession, sfDir: String, dir: String, numBuckets: Int): IndexBuilder.BuildResult = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = math.max(1L, docs.count())

@@ -55,6 +55,12 @@ object SparkEntry {
         .orderBy("query_id", "lang")),
     "q_phrase_match" -> ((s, d) =>
       SearchOps.phraseCounts(TextOps.documents(s, d)).orderBy("phrase_id", "doc_id")),
+    "q_phrase_index" -> ((s, d) => {
+      // positional-index path; must equal the narrow relational twin above
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.phraseMatch(s, pos, SearchOps.Phrases)
+        .orderBy("phrase_id", "doc_id")
+    }),
     "q_index_termstats" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
       // terms may hold several append segments — aggregate on read
@@ -393,6 +399,7 @@ object SparkEntry {
          |FROM m JOIN documents USING (doc_id)
          |GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin,
     "q_phrase_match" -> phraseSql,
+    "q_phrase_index" -> phraseSql, // index path must equal the relational twin
     "q_index_termstats" ->
       s"""WITH $TOK
          |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,

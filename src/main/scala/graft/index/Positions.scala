@@ -1,0 +1,127 @@
+package graft.index
+
+import graft.textprep.TextPrep
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional sidecar index: per (bucket, term, docId) the sorted token
+  * positions of the term in the doc — what turns the inverted index into a
+  * phrase-capable one (reference analog: ES stores positions in its
+  * postings when `index_options` includes them; monstache users get phrase
+  * queries through that).
+  *
+  * Stored as its own bucket-partitioned parquet table next to `postings`:
+  * additive — the core index format is untouched, and builds that don't
+  * need phrases skip the extra scan. Same scale discipline as postings:
+  * term predicate pushdown at the scan, docId-range buckets keep any head
+  * term split across partitions, per-bucket position maps are mini-index
+  * sized. Positions are parquet int arrays (delta/RLE-encoded natively);
+  * a posting's positions list is bounded by its doclen.
+  */
+object Positions {
+
+  /** Build from assigned (docId, bucket, text) rows: one tokenize pass,
+    * positions per (term, doc), shuffled by bucket (one fat row per
+    * (doc, term) — the same fat-row-then-sort shape as the postings build).
+    */
+  def build(spark: SparkSession, assigned: DataFrame, indexDir: String,
+      numBuckets: Int, codec: String = "zstd"): Unit = {
+    import spark.implicits._
+    val rows = assigned.select(col("docId"), col("bucket"), col("text"))
+      .as[(Long, Int, String)]
+      .flatMap { case (docId, bucket, text) =>
+        val toks = TextPrep.tokenize(text)
+        val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        var i = 0
+        while (i < toks.length) {
+          byTerm.getOrElseUpdate(toks(i), scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+          i += 1
+        }
+        byTerm.iterator.map { case (t, ps) => (bucket, t, docId, ps.toArray) }
+      }
+      .toDF("bucket", "term", "docId", "positions")
+    rows
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "term", "docId")
+      .withColumn("pbucket", col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket")
+      .option("compression", codec)
+      .parquet(s"$indexDir/positions")
+  }
+
+  /** Index-backed match_phrase: for each phrase, every doc containing the
+    * exact consecutive token sequence, with its occurrence count — output
+    * contract identical to `SearchOps.phraseCounts` (the narrow relational
+    * twin), which is the oracle cross-check.
+    *
+    * Shape: ONE term-pushdown scan for the union of phrase terms, one
+    * groupByKey(bucket); each bucket materializes only its phrase-term
+    * position lists (mini-index, same bound as a WAND bucket) and
+    * intersects position chains per doc.
+    */
+  def phraseMatch(spark: SparkSession, indexDir: String,
+      phrases: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val phraseTerms: Seq[(String, Array[String])] =
+      phrases.map { case (pid, ptext) => pid -> TextPrep.tokenize(ptext) }
+    val allTerms = phraseTerms.flatMap(_._2).distinct
+    val phrasesB = spark.sparkContext.broadcast(phraseTerms)
+
+    val rows = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("docId"), col("positions"))
+      .as[(Int, String, Long, Array[Int])]
+
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        // term -> doc -> sorted positions, bucket-local
+        val pos = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Array[Int]]]
+        it.foreach { case (_, term, docId, ps) =>
+          pos.getOrElseUpdate(term, scala.collection.mutable.HashMap.empty).put(docId, ps)
+        }
+        phrasesB.value.iterator.flatMap { case (pid, ws) =>
+          val maps = ws.map(w => pos.getOrElse(w, null))
+          if (maps.exists(_ == null)) Iterator.empty
+          else {
+            val lead = maps(0)
+            lead.iterator.flatMap { case (docId, p0) =>
+              // doc must hold every phrase term
+              val rest = new Array[Array[Int]](ws.length)
+              var ok = true
+              var j = 1
+              rest(0) = p0
+              while (ok && j < ws.length) {
+                maps(j).get(docId) match {
+                  case Some(pj) => rest(j) = pj
+                  case None => ok = false
+                }
+                j += 1
+              }
+              if (!ok) Iterator.empty
+              else {
+                // count start positions whose (p + j) chain exists in every
+                // term's sorted list (binary search per link)
+                var cnt = 0L
+                var i = 0
+                while (i < p0.length) {
+                  val p = p0(i)
+                  var k = 1
+                  var chain = true
+                  while (chain && k < ws.length) {
+                    if (java.util.Arrays.binarySearch(rest(k), p + k) < 0) chain = false
+                    k += 1
+                  }
+                  if (chain) cnt += 1
+                  i += 1
+                }
+                if (cnt > 0) Iterator.single((pid, docId, cnt)) else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("phrase_id", "doc_id", "n_matches")
+  }
+}
