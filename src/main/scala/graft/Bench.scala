@@ -158,8 +158,9 @@ object Bench {
     val thrAppend = (appendBatches * appendPerBatch).toDouble / appendSec
 
     // ---- headline SparkEntry queries on the harness sf dir ----
-    val headline = Seq("q_bm25_topk", "q_wand_topk", "q_term_df", "q_dedup_exact",
-      "q_minhash_lsh", "q_ann_cosine", "q_relate_join", "q_version_dedup")
+    val headline = Seq("q_bm25_topk", "q_wand_topk", "q_bool_and", "q_phrase_match",
+      "q_term_df", "q_dedup_exact", "q_chunk_dedup", "q_minhash_lsh", "q_ann_cosine",
+      "q_relate_join", "q_version_dedup")
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val (_, sec) = time(fn(s, sfDir).count())

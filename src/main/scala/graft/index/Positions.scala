@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * term split across partitions, per-bucket position maps are mini-index
   * sized. Positions are parquet int arrays (delta/RLE-encoded natively);
   * a posting's positions list is bounded by its doclen.
+  *
+  * Maintenance contract: opt-in — an index maintains positions iff the
+  * table exists (the ES analog: `index_options: positions`). Once present,
+  * `StreamIngest.appendBatch` extends it O(batch) (fresh buckets, dynamic
+  * overwrite — retry-safe like every other batch write) and `compact`
+  * rewrites affected buckets; enabling it on an existing index requires one
+  * backfill build (ES requires a full reindex for the same change).
   */
 object Positions {
 
@@ -25,7 +32,15 @@ object Positions {
     * (doc, term) — the same fat-row-then-sort shape as the postings build).
     */
   def build(spark: SparkSession, assigned: DataFrame, indexDir: String,
-      numBuckets: Int, codec: String = "zstd"): Unit = {
+      numBuckets: Int, codec: String = "zstd"): Unit =
+    writeSegment(spark, assigned, s"$indexDir/positions", numBuckets, codec)
+
+  /** Tokenize-with-positions + bucket-partitioned dynamic overwrite of the
+    * given rows' pbuckets — the batch build writes all buckets, a streaming
+    * append writes only its fresh ones.
+    */
+  def writeSegment(spark: SparkSession, assigned: DataFrame, path: String,
+      parts: Int, codec: String = "zstd"): Unit = {
     import spark.implicits._
     val rows = assigned.select(col("docId"), col("bucket"), col("text"))
       .as[(Long, Int, String)]
@@ -41,14 +56,14 @@ object Positions {
       }
       .toDF("bucket", "term", "docId", "positions")
     rows
-      .repartition(numBuckets, col("bucket"))
+      .repartition(parts, col("bucket"))
       .sortWithinPartitions("bucket", "term", "docId")
       .withColumn("pbucket", col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pbucket")
       .option("compression", codec)
-      .parquet(s"$indexDir/positions")
+      .parquet(path)
   }
 
   /** Index-backed match_phrase: for each phrase, every doc containing the
@@ -62,12 +77,13 @@ object Positions {
     * intersects position chains per doc.
     */
   def phraseMatch(spark: SparkSession, indexDir: String,
-      phrases: Seq[(String, String)]): DataFrame = {
+      phrases: Seq[(String, String)], tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val phraseTerms: Seq[(String, Array[String])] =
       phrases.map { case (pid, ptext) => pid -> TextPrep.tokenize(ptext) }
     val allTerms = phraseTerms.flatMap(_._2).distinct
     val phrasesB = spark.sparkContext.broadcast(phraseTerms)
+    val tombB = spark.sparkContext.broadcast(tombstones)
 
     val rows = spark.read.parquet(s"$indexDir/positions")
       .filter(col("term").isin(allTerms: _*))
@@ -86,7 +102,8 @@ object Positions {
           if (maps.exists(_ == null)) Iterator.empty
           else {
             val lead = maps(0)
-            lead.iterator.flatMap { case (docId, p0) =>
+            val tomb = tombB.value
+            lead.iterator.filter(e => !tomb.contains(e._1)).flatMap { case (docId, p0) =>
               // doc must hold every phrase term
               val rest = new Array[Array[Int]](ws.length)
               var ok = true

@@ -163,6 +163,17 @@ object StreamIngest {
       }
     IndexBuilder.writePostingsSegment(spark, postings, s"$indexDir/postings", append = false)
 
+    // positional sidecar, iff this index maintains one: tokenize-with-
+    // positions over the batch's admitted text only, dynamic overwrite of
+    // the batch's fresh pbuckets — O(batch) and retry-safe like the rest
+    if (exists(spark, s"$indexDir/positions"))
+      graft.index.Positions.writeSegment(spark,
+        assigned.select(col("docId"), col("bucket"), col("url"))
+          .join(admitted.select(col("url"), col("text")), Seq("url"))
+          .select("docId", "bucket", "text"),
+        s"$indexDir/positions",
+        parts = spark.sessionState.conf.numShufflePartitions)
+
     val fAgg = assigned.agg(
       coalesce(sum(when(col("doclen") > 0, 1L).otherwise(0L)), lit(0L)).as("cpos"),
       coalesce(sum("doclen").cast("long"), lit(0L)).as("tok"),
@@ -344,6 +355,27 @@ object StreamIngest {
     IndexBuilder.writePostingsSegment(spark, rebuilt, s"$indexDir/postings", append = false)
     (deadBuckets -- liveBuckets).foreach { b =>
       delete(spark, s"$indexDir/postings/pbucket=$b")
+    }
+
+    // positional sidecar (if maintained): anti-join out dead docs in the
+    // affected buckets — same staging + dynamic-overwrite discipline
+    if (exists(spark, s"$indexDir/positions")) {
+      spark.read.parquet(s"$indexDir/positions")
+        .filter(col("bucket").isin(deadBuckets.toSeq: _*))
+        .select("bucket", "term", "docId", "positions")
+        .join(tombs, Seq("docId"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/positions")
+      val stagedPos = spark.read.parquet(s"$staging/positions")
+      stagedPos
+        .withColumn("pbucket", col("bucket"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "term", "docId")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pbucket").parquet(s"$indexDir/positions")
+      (deadBuckets -- liveBuckets).foreach { b =>
+        delete(spark, s"$indexDir/positions/pbucket=$b")
+      }
     }
 
     // recompute stats + terms over the compacted index; clear tombstones.

@@ -34,4 +34,35 @@ class ServePathSpec extends SparkSpecBase {
     }
     reader.close()
   }
+
+  test("serving paths drop tombstoned docs pre-compaction (match distributed)") {
+    import graft.streaming.StreamIngest
+    val base = Corpus.synthetic(300, seed = 21L)
+    val dir = Files.createTempDirectory("serve-tomb").toString
+    StreamIngest.appendBatch(spark,
+      spark.createDataset(base)(org.apache.spark.sql.Encoders.product[graft.model.PageDoc]),
+      dir, bucketSize = 64, snapshotId = 1)
+    // replace one doc: its old docId is tombstoned until compaction
+    val p0 = base.head
+    val recrawl = p0.copy(
+      warc_ts = new java.sql.Timestamp(p0.warc_ts.getTime + 86400000L),
+      text = "replacement content qqxyzzy",
+      html = "<html><body>replacement content qqxyzzy</body></html>".getBytes("UTF-8"))
+    StreamIngest.appendBatch(spark,
+      spark.createDataset(Seq(recrawl))(org.apache.spark.sql.Encoders.product[graft.model.PageDoc]),
+      dir, bucketSize = 64, snapshotId = 2)
+    assert(spark.read.parquet(s"$dir/tombstones").count() === 1)
+
+    val tombed = QueryEngine.loadTombstones(spark, dir)
+    val queries = Seq("t1" -> "the", "t2" -> "qqxyzzy", "t3" -> p0.text.split(" ").head)
+    val dist = QueryEngine.topK(spark, dir, queries, 10).collect().toSeq.sortBy(r => (r.queryId, r.rank))
+    val reader = new QueryEngine.IndexReader(spark, dir)
+    val distReader = reader.topK(queries, 10).collect().toSeq.sortBy(r => (r.queryId, r.rank))
+    val serve = reader.topKServe(queries, 10).sortBy(r => (r.queryId, r.rank))
+    assert(dist.nonEmpty)
+    assert(distReader === dist, "reader distributed path differs from static path")
+    assert(serve === dist, "serving path differs from static path")
+    assert(!serve.exists(r => tombed.contains(r.docId)), "serving surfaced a tombstoned doc")
+    reader.close()
+  }
 }
