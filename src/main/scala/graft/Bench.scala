@@ -80,34 +80,42 @@ object Bench {
     // ---- scaling runs (north rule, sandbox form): the identical job at
     // N and 4N cores, twice — 2→8 below this VM's kernel-contention knee
     // (the regime matching a real cluster's few-threads-per-executor) and
-    // 8→32 at full host pressure. Per level a warm-up build then best-of-N
-    // timed runs (this sandbox shows transient multi-second stalls — min is
-    // the robust estimator of true cost) ----
+    // 8→32 at full host pressure.
+    //
+    // Protocol: levels are INTERLEAVED round-robin (2,8,32, 2,8,32, ...),
+    // one JVM-wide warm-up first (JIT outlives SparkSession.stop()), min
+    // time per level across rounds. Interleaving is what makes the ratio
+    // robust: this sandbox drifts over multi-minute windows (writeback
+    // storms, neighbor load) — sequential per-level blocks let one slow
+    // window land entirely on one level and fabricate an efficiency
+    // anywhere between 0.6 and 1.0 for the SAME plan (per-phase profiling
+    // shows the build itself scales ~4x from 2 to 8 cores, ScaleProf).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def buildRun(cpus: Int): Double = {
+    val levels = Seq(cpusLow, cpusMid, cpusHigh)
+    def buildOnce(cpus: Int): Double = {
       val s = session(cpus)
       import s.implicits._
       val pages = s.read.parquet(staging).as[graft.model.PageDoc]
-      // warm-up (codegen + JIT) on a small corpus — full warm-up builds at
-      // low core counts would dominate the wall clock without adding signal
-      val warmPages = Corpus.syntheticDistributed(s, math.min(benchDocs, 100000L),
-        seed = 42L, parts = cpus * 2)
-      IndexBuilder.build(s, warmPages, shmDir(s"warm$cpus"),
-        IndexBuilder.Config(numBuckets = benchBuckets))
-      def once(): Double = {
-        val dir = shmDir(s"idx$cpus")
-        val (_, sec) = time {
-          IndexBuilder.build(s, pages, dir, IndexBuilder.Config(numBuckets = benchBuckets))
-        }
-        sec
+      val dir = shmDir(s"idx$cpus")
+      val (_, sec) = time {
+        IndexBuilder.build(s, pages, dir, IndexBuilder.Config(numBuckets = benchBuckets))
       }
-      val best = (1 to reps).map(_ => once()).min
       s.stop()
-      benchDocs.toDouble / best
+      sec
     }
-    val thrLow = buildRun(cpusLow)
-    val thrMid = buildRun(cpusMid)
-    val thrHigh = buildRun(cpusHigh)
+    locally { // JVM-wide JIT warm-up (shared across all sessions)
+      val s = session(cpusHigh)
+      IndexBuilder.build(s,
+        Corpus.syntheticDistributed(s, math.min(benchDocs, 100000L), seed = 42L, parts = cpusHigh * 2),
+        shmDir("warm"), IndexBuilder.Config(numBuckets = benchBuckets))
+      s.stop()
+    }
+    val times: Map[Int, Seq[Double]] =
+      (1 to reps).flatMap(_ => levels.map(c => c -> buildOnce(c)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val thrLow = benchDocs.toDouble / times(cpusLow).min
+    val thrMid = benchDocs.toDouble / times(cpusMid).min
+    val thrHigh = benchDocs.toDouble / times(cpusHigh).min
     val effLowMid = thrMid / ((cpusMid.toDouble / cpusLow) * thrLow)
     val effMidHigh = thrHigh / ((cpusHigh.toDouble / cpusMid) * thrMid)
 

@@ -227,6 +227,11 @@ object QueryEngine {
   /** Streaming cursor over one term's compressed blocks in one bucket.
     * Invariant after construction / advance*: (curDoc, curTf, curDl) hold
     * the current posting; (bi, i) point at the NEXT posting to decode.
+    *
+    * Payload decode is LAZY per block: entering a block decodes only its
+    * docIds (which drive pivoting/skipping); tf/doclen arrays decode on the
+    * first curTf/curDl access — a block that WAND skips over pays for one
+    * array, not three.
     */
   private final class TermCursor(
       val term: String,
@@ -239,20 +244,27 @@ object QueryEngine {
     private var tfs: Array[Int] = _
     private var dls: Array[Int] = _
     private var i = 0
+    private var cur = -1
     var curDoc: Long = Long.MaxValue
-    var curTf: Int = 0
-    var curDl: Int = 0
     var exhausted: Boolean = blocks.isEmpty
 
     if (!exhausted) { loadBlock(); advance() }
 
     private def loadBlock(): Unit = {
-      val b = blocks(bi)
-      docs = Blocks.decodeDocIds(b)
-      tfs = Blocks.decodeTfs(b)
-      dls = Blocks.decodeDoclens(b)
+      docs = Blocks.decodeDocIds(blocks(bi))
+      tfs = null
+      dls = null
       i = 0
     }
+
+    private def ensurePayload(): Unit =
+      if (tfs == null) {
+        tfs = Blocks.decodeTfs(blocks(bi))
+        dls = Blocks.decodeDoclens(blocks(bi))
+      }
+
+    def curTf: Int = { ensurePayload(); tfs(cur) }
+    def curDl: Int = { ensurePayload(); dls(cur) }
 
     /** Block-max upper bound of the block holding curDoc, derived from the
       * stored avgdl-independent (maxTf, minDl) under the LIVE avgdl.
@@ -267,7 +279,7 @@ object QueryEngine {
         if (bi >= blocks.length) { exhausted = true; curDoc = Long.MaxValue; return }
         loadBlock()
       }
-      curDoc = docs(i); curTf = tfs(i); curDl = dls(i); i += 1
+      curDoc = docs(i); cur = i; i += 1
     }
 
     /** Advance to first posting with docId >= target, skipping whole blocks
@@ -280,7 +292,7 @@ object QueryEngine {
           while (bi < blocks.length && blocks(bi).lastDocId < target) bi += 1
           if (bi >= blocks.length) { exhausted = true; curDoc = Long.MaxValue; return }
           loadBlock()
-          curDoc = docs(0); curTf = tfs(0); curDl = dls(0); i = 1
+          curDoc = docs(0); cur = 0; i = 1
         } else {
           advance()
         }
@@ -408,6 +420,36 @@ object QueryEngine {
             val inBucket = present.filter(byTerm.contains)
             if (inBucket.isEmpty) Nil
             else wandBucket(qid, inBucket, byTerm, tstats, n, avgdl, k, tombstones)
+          }
+          candidates.sortBy(c => (-c.score, c.docId)).take(k)
+            .zipWithIndex.map { case (c, i) => c.copy(rank = i + 1) }
+        }
+      }
+    }
+
+    /** Conjunctive (bool-must) serving path over the same warm term-row
+      * cache — rank-identical to `QueryEngine.topKAnd`.
+      */
+    def topKServeAnd(queries: Seq[(String, String)], k: Int): Seq[ScoredDoc] = {
+      val qTerms = queries.map { case (qid, text) =>
+        qid -> TextPrep.tokenize(text).distinct.sorted
+      }
+      val allTerms = qTerms.flatMap(_._2).distinct
+      if (allTerms.isEmpty) return Nil
+      val tstats = termStats(allTerms)
+      loadTermRows(allTerms)
+      val n = stats.n
+      val avgdl = stats.avgdl
+      qTerms.flatMap { case (qid, terms) =>
+        if (terms.isEmpty || !terms.forall(t => tstats.contains(t) && termRows(t).nonEmpty)) Nil
+        else {
+          val byBucket: Map[Int, Map[String, TermPostings]] = terms
+            .flatMap(t => termRows(t))
+            .groupBy(_.bucket)
+            .map { case (b, rows) => b -> rows.map(tp => tp.term -> tp).toMap }
+          val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (_, byTerm) =>
+            if (!terms.forall(byTerm.contains)) Nil
+            else conjunctiveBucket(qid, terms, byTerm, tstats, n, avgdl, k, tombstones)
           }
           candidates.sortBy(c => (-c.score, c.docId)).take(k)
             .zipWithIndex.map { case (c, i) => c.copy(rank = i + 1) }

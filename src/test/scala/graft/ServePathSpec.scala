@@ -35,6 +35,24 @@ class ServePathSpec extends SparkSpecBase {
     reader.close()
   }
 
+  test("conjunctive serving path == distributed topKAnd, bit-identical") {
+    val pages = Corpus.syntheticDS(spark, 600, seed = 7L, parts = 5)
+    val dir = Files.createTempDirectory("serve-and").toString
+    IndexBuilder.build(spark, pages, dir, IndexBuilder.Config(numBuckets = 8))
+    val queries = Seq(
+      "a1" -> "the data", "a2" -> "spark index cache", "a3" -> "absentzzz the",
+      "a4" -> "the", "a5" -> "the of and")
+    val dist = QueryEngine.topKAnd(spark, dir, queries, 10).collect().toSeq
+      .sortBy(r => (r.queryId, r.rank))
+    val reader = new QueryEngine.IndexReader(spark, dir)
+    val serve = reader.topKServeAnd(queries, 10).sortBy(r => (r.queryId, r.rank))
+    assert(dist.nonEmpty)
+    assert(serve === dist)
+    // a3 has a globally-absent term: AND semantics → empty
+    assert(!dist.exists(_.queryId == "a3"))
+    reader.close()
+  }
+
   test("serving paths drop tombstoned docs pre-compaction (match distributed)") {
     import graft.streaming.StreamIngest
     val base = Corpus.synthetic(300, seed = 21L)
