@@ -53,6 +53,9 @@ object SparkEntry {
     "q_facet_counts" -> ((s, d) =>
       SearchOps.facetCounts(TextOps.documents(s, d), RefQueries.set, "lang")
         .orderBy("query_id", "lang")),
+    "q_snippets" -> ((s, d) =>
+      SearchOps.snippets(TextOps.documents(s, d), RefQueries.set, k = 3)
+        .orderBy("query_id", "rank")),
     "q_phrase_match" -> ((s, d) =>
       SearchOps.phraseCounts(TextOps.documents(s, d)).orderBy("phrase_id", "doc_id")),
     "q_phrase_index" -> ((s, d) => {
@@ -199,6 +202,35 @@ object SparkEntry {
        |conj AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN qn USING (query_id) WHERE s.matched = qn.nt),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM conj)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
+  /** Snippet oracle: BM25 top-3 per query, window of 8 tokens from
+    * max(1, firstHit-3), firstHit = lowest 1-based position of any query
+    * term in the doc's token array.
+    */
+  private def snippetSql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id FROM scored),
+       |qt AS (SELECT query_id, list(term ORDER BY term) AS qterms FROM q GROUP BY 1),
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |snip AS (
+       |  SELECT r.query_id, r.rank, r.doc_id, arrs.toks,
+       |    greatest(1, list_min(list_filter(list_transform(qt.qterms, t -> list_position(arrs.toks, t)), p -> p IS NOT NULL AND p > 0)) - 3) AS st
+       |  FROM ranked r JOIN arrs ON r.doc_id = arrs.doc_id JOIN qt ON r.query_id = qt.query_id
+       |  WHERE r.rank <= 3)
+       |SELECT query_id, rank, doc_id, array_to_string(toks[st:(st+7)], ' ') AS snippet
+       |FROM snip ORDER BY query_id, rank""".stripMargin
 
   /** match_phrase oracle, generated from SearchOps.Phrases so the fixture
     * set has exactly one definition.
@@ -400,6 +432,7 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin,
     "q_phrase_match" -> phraseSql,
     "q_phrase_index" -> phraseSql, // index path must equal the relational twin
+    "q_snippets" -> snippetSql,
     "q_index_termstats" ->
       s"""WITH $TOK
          |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
 object Bm25Sql {
 
   def topK(spark: SparkSession, sfDir: String, queries: Seq[(String, String)] = RefQueries.set,
+      k: Int = RefQueries.K): DataFrame =
+    topKDocs(TextOps.documents(spark, sfDir), queries, k)
+
+  def topKDocs(docs: DataFrame, queries: Seq[(String, String)] = RefQueries.set,
       k: Int = RefQueries.K): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = TextOps.documents(spark, sfDir)
     val tok = TextOps.tokens(docs)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("doclen"))

@@ -32,6 +32,33 @@ object SearchOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Highlight snippets (the ES `highlight` analog, deterministic form):
+    * for each query's BM25 top-`k` docs, the window of `before+after+1`
+    * tokens around the doc's FIRST occurrence (lowest 1-based token
+    * position) of any query term. Entirely narrow after the top-k: token
+    * positions come from per-row array ops (`array_position`), no extra
+    * shuffle beyond the ranking itself.
+    */
+  def snippets(docs: DataFrame, queries: Seq[(String, String)], k: Int = 3,
+      before: Int = 3, after: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = Bm25Sql.topKDocs(docs, queries, k).select("query_id", "rank", "doc_id")
+    val qdf = queries
+      .map { case (qid, text) => (qid, TextPrep.tokenize(text).distinct.sorted.toSeq) }
+      .toDF("query_id", "qterms")
+    top
+      .join(docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks")), Seq("doc_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("p", array_min(filter(
+        transform(col("qterms"), t => array_position(col("toks"), t)), p => p > 0)))
+      .withColumn("start", greatest(lit(1L), col("p") - before))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("start").cast("int"), lit(before + after + 1)))
+          .as("snippet"))
+  }
+
   /** Fixed phrase set for the driver query (chosen to hit the harness
     * corpus; counts verified nonzero at sf0.01).
     */
