@@ -56,6 +56,22 @@ object SparkEntry {
     "q_snippets" -> ((s, d) =>
       SearchOps.snippets(TextOps.documents(s, d), RefQueries.set, k = 3)
         .orderBy("query_id", "rank")),
+    "q_should_match" -> ((s, d) =>
+      SearchOps.shouldMatchTopK(TextOps.documents(s, d), RefQueries.set, m = 2)
+        .orderBy("query_id", "rank")),
+    "q_filtered_topk" -> ((s, d) =>
+      SearchOps.filteredTopK(TextOps.documents(s, d), RefQueries.set, col("lang") === "en")
+        .orderBy("query_id", "rank")),
+    "q_search_after" -> ((s, d) =>
+      SearchOps.searchAfterPage(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "page_rank")),
+    "q_sort_by_field" -> ((s, d) =>
+      SearchOps.sortByField(TextOps.documents(s, d), RefQueries.set, "n_chars")
+        .orderBy("query_id", "rank")),
+    "q_prefix_match" -> ((s, d) =>
+      SearchOps.prefixMatch(TextOps.documents(s, d)).orderBy("prefix_id")),
+    "q_fuzzy_expand" -> ((s, d) =>
+      SearchOps.fuzzyExpand(TextOps.documents(s, d)).orderBy("query_id", "term")),
     "q_phrase_match" -> ((s, d) =>
       SearchOps.phraseCounts(TextOps.documents(s, d)).orderBy("phrase_id", "doc_id")),
     "q_phrase_index" -> ((s, d) => {
@@ -202,6 +218,82 @@ object SparkEntry {
        |conj AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN qn USING (query_id) WHERE s.matched = qn.nt),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM conj)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
+  /** Shared scored-CTE block: exact BM25 per (query, doc) with the
+    * matched-term count, plus query arity (qn) — the base of the
+    * should-match / filtered / pagination oracles. Must stay textually in
+    * lockstep with bm25Sql's scoring expression.
+    */
+  private def scoredCtes: String =
+    s"""$TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |qn AS (SELECT query_id, count(*)::BIGINT AS nq FROM q GROUP BY 1),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score,
+       |    count(*)::BIGINT AS matched
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def shouldMatchSql: String =
+    s"""WITH $scoredCtes,
+       |ok AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN qn USING (query_id)
+       |       WHERE s.matched >= least(2, qn.nq)),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM ok)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def filteredTopkSql: String =
+    s"""WITH $scoredCtes,
+       |ok AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+       |       WHERE d.lang = 'en'),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM ok)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Pagination oracle: page 2 ≡ global ranks k+1..2k (the cursor predicate
+    * (score, doc_id) strictly-after rank k is exactly rank > k under the
+    * total (score DESC, doc_id ASC) order).
+    */
+  private def searchAfterSql: String =
+    s"""WITH $scoredCtes,
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT query_id, (rank - 10)::INT AS page_rank, doc_id, score FROM ranked
+       |WHERE rank BETWEEN 11 AND 20 ORDER BY query_id, page_rank""".stripMargin
+
+  private def sortByFieldSql: String =
+    s"""WITH $TOK,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok ON q.term = tok.term),
+       |r AS (SELECT m.query_id, row_number() OVER (PARTITION BY m.query_id ORDER BY d.n_chars DESC, m.doc_id ASC)::INT AS rank, m.doc_id, d.n_chars
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id)
+       |SELECT query_id, rank, doc_id, n_chars FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def prefixSql: String = {
+    val vals = graft.query.SearchOps.Prefixes
+      .map { case (id, p) => s"('$id','$p')" }.mkString(", ")
+    s"""WITH $TOK,
+       |p(prefix_id, prefix) AS (VALUES $vals),
+       |pairs AS (SELECT DISTINCT doc_id, term FROM tok)
+       |SELECT p.prefix_id, p.prefix, count(DISTINCT pairs.term)::BIGINT AS n_terms, count(DISTINCT pairs.doc_id)::BIGINT AS n_docs
+       |FROM p JOIN pairs ON pairs.term LIKE p.prefix || '%'
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  private def fuzzySql: String = {
+    val vals = graft.query.SearchOps.Fuzzies
+      .map { case (id, t) => s"('$id','$t')" }.mkString(", ")
+    s"""WITH $TOK,
+       |dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+       |f(query_id, qterm) AS (VALUES $vals)
+       |SELECT f.query_id, f.qterm, d.term, levenshtein(f.qterm, d.term)::BIGINT AS dist, d.df
+       |FROM f JOIN dict d ON levenshtein(f.qterm, d.term) <= 1
+       |ORDER BY query_id, term""".stripMargin
+  }
 
   /** Snippet oracle: BM25 top-3 per query, window of 8 tokens from
     * max(1, firstHit-3), firstHit = lowest 1-based position of any query
@@ -433,6 +525,12 @@ object SparkEntry {
     "q_phrase_match" -> phraseSql,
     "q_phrase_index" -> phraseSql, // index path must equal the relational twin
     "q_snippets" -> snippetSql,
+    "q_should_match" -> shouldMatchSql,
+    "q_filtered_topk" -> filteredTopkSql,
+    "q_search_after" -> searchAfterSql,
+    "q_sort_by_field" -> sortByFieldSql,
+    "q_prefix_match" -> prefixSql,
+    "q_fuzzy_expand" -> fuzzySql,
     "q_index_termstats" ->
       s"""WITH $TOK
          |SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term ORDER BY term""".stripMargin,

@@ -19,6 +19,20 @@ object Bm25Sql {
 
   def topKDocs(docs: DataFrame, queries: Seq[(String, String)] = RefQueries.set,
       k: Int = RefQueries.K): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scoredDocs(docs, queries).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All (query, doc) matches with their exact BM25 score, the number of
+    * distinct query terms matched (`matched`), and the query's term arity
+    * (`nq`) — the shared core that top-k, minimum_should_match, filtered
+    * search, and pagination all rank over. Disjunctive (OR) semantics; one
+    * shuffle keyed by (query_id, doc_id).
+    */
+  def scoredDocs(docs: DataFrame, queries: Seq[(String, String)] = RefQueries.set): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = TextOps.tokens(docs)
@@ -32,6 +46,9 @@ object Bm25Sql {
     val q = queries.flatMap { case (qid, text) =>
       graft.textprep.TextPrep.tokenize(text).distinct.map(t => (qid, t))
     }.toDF("query_id", "term")
+    val qn = queries.map { case (qid, text) =>
+      (qid, graft.textprep.TextPrep.tokenize(text).distinct.length.toLong)
+    }.toDF("query_id", "nq")
 
     val dft = tf.join(q.select("term").distinct(), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -42,21 +59,17 @@ object Bm25Sql {
     val partial = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(avgdl)))
 
-    val scored = q
-      .join(tf, Seq("term"))
+    q.join(tf, Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("addend", idf * partial)
       .groupBy("query_id", "doc_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("term"), col("addend")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("addend")).as("score"))
-
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("addend")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("addend")).as("score"),
+        count(lit(1)).as("matched"))
+      .join(broadcast(qn), Seq("query_id"))
   }
 }

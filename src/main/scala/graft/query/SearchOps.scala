@@ -2,7 +2,8 @@ package graft.query
 
 import graft.ops.TextOps
 import graft.textprep.TextPrep
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Search-time aggregations over the corpus — the ES query-DSL features a
@@ -57,6 +58,129 @@ object SearchOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         concat_ws(" ", slice(col("toks"), col("start").cast("int"), lit(before + after + 1)))
           .as("snippet"))
+  }
+
+  /** minimum_should_match: BM25 OR semantics restricted to docs matching at
+    * least `m` distinct query terms (capped at the query's own arity, so a
+    * single-term query still matches — ES's effective behavior when the
+    * clause count is below the minimum). Same plan as top-k plus one
+    * broadcast arity join; no extra shuffle.
+    */
+  def shouldMatchTopK(docs: DataFrame, queries: Seq[(String, String)],
+      m: Int = 2, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .filter(col("matched") >= least(lit(m.toLong), col("nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Filter-context search (ES `bool.filter`): BM25 ranking restricted to
+    * docs satisfying `predicate`, with idf/avgdl still computed over the
+    * FULL corpus (filters narrow candidates; they never reweight scores —
+    * ES semantics). The filter side is a semi-join on doc_id: at scale the
+    * predicate is pushed to the docs scan and the join key is uniform.
+    */
+  def filteredTopK(docs: DataFrame, queries: Seq[(String, String)],
+      predicate: Column, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(docs.filter(predicate).select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** search_after pagination: page 2 of the ranking, fetched the ES way —
+    * the cursor is page 1's last (score, doc_id) and page 2 is the top-k of
+    * everything STRICTLY after it in (score DESC, doc_id ASC) order, so no
+    * global rank materialization is needed at serving time. Queries with
+    * fewer than `k` results have no cursor and produce no second page.
+    */
+  def searchAfterPage(docs: DataFrame, queries: Seq[(String, String)],
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val scored = Bm25Sql.scoredDocs(docs, queries).cache()
+    val cursor = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("score").as("c_score"), col("doc_id").as("c_doc"))
+    scored.join(broadcast(cursor), Seq("query_id"))
+      .filter(col("score") < col("c_score") ||
+        (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
+      .withColumn("page_rank", row_number().over(w))
+      .filter(col("page_rank") <= k)
+      .select(col("query_id"), col("page_rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Sort-by-field retrieval (ES `sort` without scoring): docs matching ANY
+    * query term, ordered by `field` DESC with doc_id as tiebreak, top `k`
+    * per query. The match set is a distinct semi-join on term; ranking is a
+    * per-query window — k·queries rows out.
+    */
+  def sortByField(docs: DataFrame, queries: Seq[(String, String)],
+      field: String, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val matched = TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(q), Seq("term"))
+      .select("query_id", "doc_id").distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col(field).desc, col("doc_id").asc)
+    matched.join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col(field))
+  }
+
+  /** Fixed prefix set for the driver query (hits the harness vocabulary:
+    * 's' expands to 6 terms, 'sc'/'ha' to one, 'zz' to none).
+    */
+  val Prefixes: Seq[(String, String)] = Seq(
+    "pr1" -> "s", "pr2" -> "sc", "pr3" -> "ha", "pr4" -> "zz")
+
+  /** Prefix query (ES `prefix`): per prefix, the number of dictionary terms
+    * it expands to and the number of distinct docs containing any of them.
+    * The expansion stage is a scan of the term dictionary (a `StartsWith`
+    * predicate the parquet reader min/max-prunes); the doc count is one
+    * distinct aggregation keyed by uniform (prefix, doc) pairs.
+    */
+  def prefixMatch(docs: DataFrame, prefixes: Seq[(String, String)] = Prefixes): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = prefixes.toDF("prefix_id", "prefix")
+    TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(p), col("term").startsWith(col("prefix")))
+      .groupBy("prefix_id", "prefix")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Misspelled probe terms for the driver query: spak→spark, sow→{row,
+    * slow}, tha→the, jon→join, merge→merge (dist 0), qzx→∅.
+    */
+  val Fuzzies: Seq[(String, String)] = Seq(
+    "f1" -> "spak", "f2" -> "sow", "f3" -> "tha",
+    "f4" -> "jon", "f5" -> "merge", "f6" -> "qzx")
+
+  /** Fuzzy term expansion (the rewrite stage of an ES `fuzzy` query): each
+    * probe term expands to every dictionary term within Levenshtein
+    * distance `maxDist`, carrying the term's df. The dictionary is derived
+    * (term, df) — tiny relative to the corpus — and the probe set is
+    * broadcast, so the edit-distance comparison never shuffles the corpus.
+    */
+  def fuzzyExpand(docs: DataFrame, probes: Seq[(String, String)] = Fuzzies,
+      maxDist: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = probes.toDF("query_id", "qterm")
+    val dict = TextOps.tokens(docs)
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    dict.join(broadcast(f), levenshtein(col("qterm"), col("term")) <= maxDist)
+      .select(col("query_id"), col("qterm"), col("term"),
+        levenshtein(col("qterm"), col("term")).cast("bigint").as("dist"), col("df"))
   }
 
   /** Fixed phrase set for the driver query (chosen to hit the harness
