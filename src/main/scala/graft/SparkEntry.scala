@@ -117,6 +117,28 @@ object SparkEntry {
         minEstJaccard = 0.25).orderBy("id_a", "id_b")),
     "q_chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(TextOps.documents(s, d), w = 10).orderBy("doc_id")),
+    "q_neardup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(TextOps.documents(s, d), n = 3, k = 8, bands = 4,
+          minEstJaccard = 0.25)).orderBy("doc_id")),
+    "q_pii_redact" -> ((s, d) => {
+      val docs = TextOps.documents(s, d)
+      val withPii = docs.select(col("doc_id"), concat(
+        col("text"), lit(" contact "), col("source"), (col("doc_id") % 97).cast("string"),
+        lit("@crawl.example.com tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0, lit(" cc admin@site.example.org")).otherwise(lit(""))).as("text"))
+      TextOps.piiRedact(withPii).orderBy("doc_id")
+    }),
+    "q_url_dedup" -> ((s, d) => {
+      val docs = TextOps.documents(s, d)
+      val pages = docs.select(col("doc_id"), concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.com/"),
+        (col("doc_id") % 17).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&ref="), col("doc_id").cast("string")).as("url"))
+      Dedup.urlDedup(pages).orderBy("norm_url")
+    }),
     "q_rep_signals" -> ((s, d) =>
       TextOps.repetitionSignals(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_simhash_pairs" -> ((s, d) =>
@@ -350,22 +372,66 @@ object SparkEntry {
        |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n),
        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM arridx)""".stripMargin
 
-  private def minhashSql: String = {
+  /** Shared MinHash CTE block ending in `pairs` (verified LSH candidate
+    * pairs with est_jaccard >= 0.25) — the base of both the pair oracle and
+    * the connected-components cluster oracle.
+    */
+  private def minhashCtes: String = {
     val mhCols = (0 until 8).map(i =>
       s"min(cast('0x' || substr(md5('$i:' || shingle), 1, 8) AS UBIGINT))::BIGINT AS mh_$i").mkString(", ")
     val bandRows = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, mh_${2 * b}::VARCHAR || '_' || mh_${2 * b + 1}::VARCHAR AS key FROM sig").mkString(" UNION ALL ")
     val agree = (0 until 8).map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH ${shinglesSql(3)},
+    s"""${shinglesSql(3)},
        |sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
        |buckets AS ($bandRows),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |         FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-       |SELECT id_a, id_b, round(($agree) / 8.0, 4) AS est_jaccard
-       |FROM cand JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
-       |WHERE round(($agree) / 8.0, 4) >= 0.25
-       |ORDER BY id_a, id_b""".stripMargin
+       |         FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT id_a, id_b, round(($agree) / 8.0, 4) AS est_jaccard
+       |          FROM cand JOIN sig a ON id_a = a.doc_id JOIN sig b ON id_b = b.doc_id
+       |          WHERE round(($agree) / 8.0, 4) >= 0.25)""".stripMargin
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Cluster oracle: exact connected components of the pair graph via a
+    * recursive reachability CTE — cluster = min reachable id.
+    */
+  private def clustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (SELECT a, a FROM edges UNION SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a)
+       |SELECT id AS doc_id, min(r)::BIGINT AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PII fixture: deterministic contact tail appended to each doc (the
+    * corpus itself is clean lowercase words). Regexes are injected from
+    * TextOps so both sides share one definition.
+    */
+  private def piiSql: String =
+    s"""WITH pii AS (SELECT doc_id,
+       |  text || ' contact ' || source || (doc_id % 97)::TEXT || '@crawl.example.com tel 555-' ||
+       |  lpad((doc_id % 10000)::TEXT, 4, '0') ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@site.example.org' ELSE '' END) AS text
+       |FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextOps.EmailRe}'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(text, '${TextOps.PhoneRe}'))::BIGINT AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '[EMAIL]', 'g'), '${TextOps.PhoneRe}', '[PHONE]', 'g')) AS redacted_hash
+       |FROM pii ORDER BY doc_id""".stripMargin
+
+  /** URL fixture: mixed-case scheme/host, optional trailing slash, utm
+    * query string; doc_id % 17 per source forces canonical collisions.
+    */
+  private def urlSql: String =
+    s"""WITH pages AS (SELECT doc_id,
+       |  'HTTPS://WWW.' || source || '.Example.com/' || (doc_id % 17)::TEXT ||
+       |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+       |  '?utm_source=feed&ref=' || doc_id::TEXT AS url FROM documents),
+       |norm AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url), '^[a-z]+://', ''), '^www[.]', ''), '[?#].*$$', ''), '/+$$', '') AS norm_url FROM pages)
+       |SELECT norm_url, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+       |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** SimHash oracle: reproduces the md5-derived 64-bit term hash, the
     * tf-weighted bit accumulation, the 4×16-bit banding, and the Hamming
@@ -600,6 +666,9 @@ object SparkEntry {
          |WHERE round(common::DOUBLE / (sa.set_size + sb.set_size - common)::DOUBLE + 1.0e-9, 4) >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_lsh" -> minhashSql,
+    "q_neardup_clusters" -> clustersSql,
+    "q_pii_redact" -> piiSql,
+    "q_url_dedup" -> urlSql,
     "q_chunk_dedup" ->
       """WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
         |chidx AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS i FROM arrs WHERE len(toks) > 0),

@@ -214,6 +214,68 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-duplicate pair graph — the clustering
+    * step that turns pairwise LSH hits into keep-one-per-cluster decisions.
+    * Input: (id_a, id_b) edges. Output: (doc_id, cluster) where cluster is
+    * the minimum doc_id reachable in the component, for every doc that
+    * appears in at least one edge.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. Each round is
+    * ONE shuffle keyed by uniform doc ids (edges join labels, groupBy min);
+    * convergence is detected by a scalar sum(label) aggregate — labels only
+    * decrease, so an unchanged sum IS the fixpoint; nothing is collected.
+    * `localCheckpoint` truncates the growing lineage each round. Rounds =
+    * component diameter; near-dup graphs are overwhelmingly tiny cliques
+    * (diameter ≤ ~3), so this beats the O(log n)-round large-star/small-star
+    * scheme (Kiveris et al., SoCC'14) in practice while staying a drop-in
+    * upgrade path if a corpus ever produces long chains.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var curSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym.join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = nextSum == curSum
+      labels = next
+      curSum = nextSum
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** URL canonicalization: lowercase, strip scheme, leading `www.`, query
+    * string / fragment, and trailing slashes. A pure codegen'd column
+    * expression (no UDF) — usable in any pipeline stage.
+    */
+  def normalizeUrl(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(c), "^[a-z]+://", ""),
+          "^www[.]", ""),
+        "[?#].*$", ""),
+      "/+$", "")
+
+  /** URL-level dedup: group by canonical URL, keep the lowest doc_id.
+    * Uniform hash keys (canonical URLs), one shuffle.
+    */
+  def urlDedup(pages: DataFrame, urlCol: String = "url"): DataFrame =
+    pages.groupBy(normalizeUrl(col(urlCol)).as("norm_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+
   /** First 8 bytes of md5(s), big-endian — identical to DuckDB's
     * ('0x' || substr(md5(s), 1, 16))::UBIGINT bit pattern.
     */

@@ -148,4 +148,28 @@ object TextOps {
     agg.withColumn("lang_pred", best._2)
       .select((Seq(col("doc_id"), col("lang_pred")) ++ langs.map(l => col(s"hits_$l"))): _*)
   }
+
+  // -------------------------------------------------------- PII scrubbing
+
+  /** Regexes restricted to syntax with identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB), and backslash-free so the same literal can
+    * be embedded in generated SQL: character classes and bounded repeats.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII scrub pass (training-data hygiene): counts and redacts email
+    * addresses and phone numbers per document. Entirely NARROW — per-row
+    * regex work inside whole-stage codegen, no UDF, no shuffle; the
+    * redacted text is emitted as an md5 so the correctness gate checks the
+    * full redaction byte-for-byte without dumping bulky text.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+      md5(regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
+        .as("redacted_hash"))
+  }
 }

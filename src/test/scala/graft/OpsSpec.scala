@@ -83,4 +83,45 @@ class OpsSpec extends SparkSpecBase {
       Seq(2, 3, 4).foreach(i => assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
     }
   }
+
+  test("connected components: chain, clique, and singleton-edge graphs resolve to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components partition the near-dup pair graph consistently") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 8, bands = 4, minEstJaccard = 0.25).cache()
+    val clusters = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeRows = pairs.select("id_a", "id_b").collect()
+    assert(edgeRows.nonEmpty, "harness corpus must produce near-dup pairs")
+    edgeRows.foreach { r =>
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)), "edge endpoints share a cluster")
+    }
+    // each cluster id is the minimum member of its cluster
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c)
+    }
+  }
+
+  test("url normalization strips scheme/www/query/trailing slash and lowercases") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Site.Example.com/A/B/?q=1#frag"),
+      (2L, "http://site.example.com/a/b"),
+      (3L, "site.example.com/a/b///"),
+      (4L, "https://www.other.example.com")
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(urls).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("other.example.com", 1L, 4L),
+      ("site.example.com/a/b", 3L, 1L)))
+  }
 }
