@@ -83,7 +83,29 @@ object PlanCheck {
       (if (nExch <= 1) "OK" else s"FAIL ($nExch)"))
     check("embed near-dup window-free", ndPlan, wants = Nil, rejects = Seq("Window"))
 
-    // 8. urlmap recrawl lookup: partition pruning on urange must reach the
+    // 8. search-surface plans: the tiny query/probe/prefix sides must
+    // broadcast (no shuffle of the corpus against 6-row tables), the
+    // filter-context semi-join must not sort-merge, and ranked outputs
+    // must use WindowGroupLimit (rank pushdown), never a global sort
+    val docsDf = TextOps.documents(spark, sfDir)
+    check("filtered top-k", graft.query.SearchOps
+      .filteredTopK(docsDf, graft.RefQueries.set, col("lang") === "en")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("BroadcastHashJoin", "WindowGroupLimit"),
+      rejects = Seq("SortMergeJoin", "CartesianProduct"))
+    check("fuzzy expansion", graft.query.SearchOps.fuzzyExpand(docsDf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("BroadcastNestedLoopJoin"),
+      rejects = Seq("SortMergeJoin", "CartesianProduct"))
+    check("prefix match", graft.query.SearchOps.prefixMatch(docsDf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("BroadcastNestedLoopJoin"),
+      rejects = Seq("SortMergeJoin", "CartesianProduct"))
+
+    // 9. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
     graft.streaming.StreamIngest.appendBatch(spark,
