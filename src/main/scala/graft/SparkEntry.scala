@@ -141,6 +141,8 @@ object SparkEntry {
     }),
     "q_rep_signals" -> ((s, d) =>
       TextOps.repetitionSignals(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_simhash_pairs" -> ((s, d) =>
       // radius 3 with 4 disjoint 16-bit bands: candidate recall is COMPLETE
       // by pigeonhole (bands = maxHamming + 1)
@@ -420,6 +422,35 @@ object SparkEntry {
        |  len(regexp_extract_all(text, '${TextOps.PhoneRe}'))::BIGINT AS n_phones,
        |  md5(regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '[EMAIL]', 'g'), '${TextOps.PhoneRe}', '[PHONE]', 'g')) AS redacted_hash
        |FROM pii ORDER BY doc_id""".stripMargin
+
+  /** Quality-filter oracle: rebuilds the rounded repetition signals and the
+    * unrounded stopword ratio, then applies the identical first-failing-rule
+    * CASE chain (thresholds are literals on both sides).
+    */
+  private def qualityFilterSql: String = {
+    val stop = TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""WITH $TOK,
+       |tokagg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_distinct FROM tok GROUP BY 1),
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |gidx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM arrs WHERE len(toks) >= 2),
+       |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM gidx),
+       |gc AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+       |ga AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams, max(cnt)::BIGINT AS top_gram_cnt FROM gc GROUP BY 1),
+       |rep AS (SELECT doc_id, n_tokens,
+       |  round(1.0 - n_distinct::DOUBLE / n_tokens::DOUBLE + 1.0e-9, 4) AS dup_tok_ratio,
+       |  round(coalesce(top_gram_cnt::DOUBLE / n_grams::DOUBLE, 0.0) + 1.0e-9, 4) AS top_2gram_frac
+       |  FROM tokagg LEFT JOIN ga USING (doc_id)),
+       |stops AS (SELECT doc_id, sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS stop_ratio FROM tok GROUP BY 1),
+       |v AS (SELECT r.doc_id,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_tokens > 5000 THEN 'too_long'
+       |       WHEN dup_tok_ratio > 0.65 THEN 'repetitive'
+       |       WHEN top_2gram_frac > 0.1 THEN 'boilerplate'
+       |       WHEN stop_ratio < 0.001 THEN 'no_stopwords'
+       |       ELSE 'ok' END AS reason
+       |  FROM rep r JOIN stops USING (doc_id))
+       |SELECT doc_id, (reason = 'ok') AS keep, reason FROM v ORDER BY doc_id""".stripMargin
+  }
 
   /** URL fixture: mixed-case scheme/host, optional trailing slash, utm
     * query string; doc_id % 17 per source forces canonical collisions.
@@ -731,11 +762,13 @@ object SparkEntry {
          |FROM base b JOIN tokagg t ON b.doc_id = t.doc_id ORDER BY b.doc_id""".stripMargin
     },
     "q_token_counts" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
         |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS alnum_tokens,
-        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::BIGINT AS symbol_tokens
+        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::BIGINT AS symbol_tokens,
+        |  len(regexp_extract_all(lower(text), '${TextOps.BpeRe}'))::BIGINT AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" -> qualityFilterSql,
     "q_fingerprint" ->
       s"""WITH $TOK,
          |d AS (SELECT DISTINCT doc_id, term FROM tok)

@@ -70,15 +70,22 @@ object TextOps {
             least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.3) + lit(1.0e-9), 4))
   }
 
-  /** Token counting: whitespace tokens + alnum tokens (BPE-ish proxy:
-    * alnum runs + count of non-space non-alnum symbols as single tokens).
+  /** GPT-2-style pre-tokenizer, restricted to lookahead-free syntax with
+    * identical leftmost-first alternation semantics in Java regex and RE2:
+    * optional-space-prefixed letter runs, digit runs, symbol runs, and
+    * residual space runs. Counting matches of this pattern approximates a
+    * BPE tokenizer's pre-split count — the standard cheap "LLM tokens"
+    * estimate when the real vocab isn't on the cluster.
     */
+  val BpeRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(filter(split(col("text"), " "), c => c =!= "")).cast("bigint").as("ws_tokens"),
       size(filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "")).cast("bigint").as("alnum_tokens"),
-      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("bigint").as("symbol_tokens"))
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("bigint").as("symbol_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeRe), lit(0))).cast("bigint").as("bpe_tokens"))
 
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive content fingerprint (dedup key robust to shuffling).
@@ -147,6 +154,28 @@ object TextOps {
     }
     agg.withColumn("lang_pred", best._2)
       .select((Seq(col("doc_id"), col("lang_pred")) ++ langs.map(l => col(s"hits_$l"))): _*)
+  }
+
+  /** Composite quality-filter verdict (the Gopher/C4-style keep/drop
+    * decision a curation pipeline actually makes): first failing rule wins.
+    * Thresholds compare the same rounded signal values the individual
+    * signal queries emit, so the verdict is FP-reproducible in SQL. One
+    * pass over per-doc aggregates; no corpus-wide state.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 20, maxTokens: Long = 5000,
+      maxDupTok: Double = 0.65, maxTopGram: Double = 0.10,
+      minStopRatio: Double = 0.001): DataFrame = {
+    val rep = repetitionSignals(docs)
+    val stop = stopwordRatio(docs)
+    rep.join(stop, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("dup_tok_ratio") > maxDupTok, "repetitive")
+          .when(col("top_2gram_frac") > maxTopGram, "boilerplate")
+          .when(col("stop_ratio") < minStopRatio, "no_stopwords")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
   }
 
   // -------------------------------------------------------- PII scrubbing
