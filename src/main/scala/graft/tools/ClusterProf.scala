@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.corpus.Corpus
+import graft.index.IndexBuilder
+import org.apache.spark.sql.SparkSession
+
+/** Multi-process scaling profiler: the identical index build on Spark
+  * `local-cluster` (real executor JVMs — standalone master/worker in the
+  * driver process, separate CoarseGrainedExecutorBackend processes), which
+  * maps the north rule's "N executors vs 4N executors" far more faithfully
+  * than thread-count scaling inside one JVM: each executor brings its OWN
+  * heap, GC, and task threads, exactly like adding machines to a cluster.
+  *
+  * Usage: runMain graft.tools.ClusterProf [nDocs] [execsxcores,...] [memMb]
+  * e.g.   runMain graft.tools.ClusterProf 1000000 1x2,4x2 3072
+  */
+object ClusterProf {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val layouts = args.drop(1).headOption.getOrElse("1x2,4x2")
+      .split(",").toSeq.map { s => val Array(e, c) = s.split("x"); (e.toInt, c.toInt) }
+    val memMb = args.drop(2).headOption.map(_.toInt).getOrElse(3072)
+    val base = "/dev/shm/graft-clusterprof"
+    new java.io.File(base).mkdirs()
+
+    def session(execs: Int, coresPer: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$execs,$coresPer,$memMb]")
+        .appName(s"clusterprof-${execs}x$coresPer")
+        // executors are fresh JVMs: hand them the driver's full classpath
+        // (graft classes + /opt/spark/jars), since there is no spark-submit
+        // jar distribution here
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.local.dir", s"$base/spark-local")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        // measure steady state, not executor launch: block until every
+        // executor has registered
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    val staging = s"$base/corpus"
+    val warm = session(layouts.map(_._1).max, layouts.map(_._2).max)
+    Corpus.syntheticDistributed(warm, nDocs, seed = 42L, parts = 64)
+      .write.mode("overwrite").parquet(staging)
+    warm.stop()
+
+    layouts.foreach { case (execs, cores) =>
+      val s = session(execs, cores)
+      import s.implicits._
+      val pages = s.read.parquet(staging).as[graft.model.PageDoc]
+      // JIT + executor-registration warm-up
+      IndexBuilder.build(s,
+        Corpus.syntheticDistributed(s, math.min(nDocs, 100000L), seed = 42L, parts = execs * cores * 2),
+        s"$base/warm$execs-$cores", IndexBuilder.Config(numBuckets = 64))
+      System.err.println(s"=== PROFILE ${execs}x$cores (executors x cores) ===")
+      val t0 = System.nanoTime()
+      IndexBuilder.build(s, pages, s"$base/idx$execs-$cores", IndexBuilder.Config(numBuckets = 64))
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"=== TOTAL ${execs}x$cores: $sec%.2f s (${nDocs / sec}%.0f docs/s) ===")
+      s.stop()
+    }
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+  }
+}

@@ -26,6 +26,7 @@ object ScaleProf {
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.local.dir", s"$base/spark-local")
+        .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .getOrCreate()
@@ -40,6 +41,7 @@ object ScaleProf {
     warm.stop()
 
     levels.foreach { cpus =>
+      Affinity.pin(cpus)
       val s = session(cpus)
       import s.implicits._
       val pages = s.read.parquet(staging).as[graft.model.PageDoc]
