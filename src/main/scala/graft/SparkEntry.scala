@@ -143,6 +143,14 @@ object SparkEntry {
       TextOps.repetitionSignals(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_quality_filter" -> ((s, d) =>
       TextOps.qualityFilter(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_top_terms" -> ((s, d) =>
+      TextOps.topTerms(TextOps.documents(s, d)).orderBy("doc_id", "rank")),
+    "q_len_deciles" -> ((s, d) =>
+      TextOps.lenDeciles(TextOps.documents(s, d)).orderBy("decile")),
+    "q_sq8_topk" -> ((s, d) => {
+      val emb = Similarity.embeddings(s, d)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 3)).orderBy("query_id", "rank")
+    }),
     "q_simhash_pairs" -> ((s, d) =>
       // radius 3 with 4 disjoint 16-bit bands: candidate recall is COMPLETE
       // by pigeonhole (bands = maxHamming + 1)
@@ -769,6 +777,36 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '${TextOps.BpeRe}'))::BIGINT AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_filter" -> qualityFilterSql,
+    "q_top_terms" ->
+      s"""WITH $TOK, $TF, $DL, $STATS,
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf::DOUBLE * ln(stats.n::DOUBLE / dft.df::DOUBLE) AS tfidf_raw
+         |       FROM tf JOIN dft USING (term) CROSS JOIN stats),
+         |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC)::INT AS rank, term, round(tfidf_raw + 1.0e-9, 4) AS tfidf FROM sc)
+         |SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_len_deciles" ->
+      s"""WITH $TOK, $DL,
+         |t AS (SELECT doc_id, doclen, ntile(10) OVER (ORDER BY doclen, doc_id)::INT AS decile FROM dl)
+         |SELECT decile, count(*)::BIGINT AS n_docs, min(doclen) AS min_len, max(doclen) AS max_len, sum(doclen)::BIGINT AS sum_len
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sq8_topk" ->
+      """WITH ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |mm AS (SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx FROM ev GROUP BY 1),
+        |dec AS (SELECT ev.vec_id, ev.i,
+        |  CASE WHEN mm.mx = mm.mn THEN mm.mn
+        |       ELSE mm.mn + floor((ev.embedding[ev.i]::DOUBLE - mm.mn) / (mm.mx - mm.mn) * 255.0 + 0.5) / 255.0 * (mm.mx - mm.mn) END AS v
+        |  FROM ev JOIN mm USING (i)),
+        |qd AS (SELECT vec_id AS query_id, i, v AS qv FROM dec WHERE vec_id < 3),
+        |pairs AS (SELECT qd.query_id, d.vec_id,
+        |    sum(d.v * qd.qv ORDER BY d.i) AS dp,
+        |    sum(d.v * d.v ORDER BY d.i) AS na,
+        |    sum(qd.qv * qd.qv ORDER BY d.i) AS nq
+        |  FROM dec d JOIN qd ON d.i = qd.i
+        |  WHERE d.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank FROM pairs)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_fingerprint" ->
       s"""WITH $TOK,
          |d AS (SELECT DISTINCT doc_id, term FROM tok)

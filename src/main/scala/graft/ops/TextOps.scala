@@ -87,6 +87,70 @@ object TextOps {
       length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("bigint").as("symbol_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpeRe), lit(0))).cast("bigint").as("bpe_tokens"))
 
+  /** Top-k terms per document by tf·idf (idf = ln(N/df), N = docs with
+    * tokens) — the keyword-extraction primitive. One shuffle joins tf
+    * against the derived df table on uniform term keys; ranking is a
+    * per-doc window. Ties break on term ascending so the ranking is total.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termFreqs(docs)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = doclens(docs).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf_raw").desc, col("term").asc)
+    tf.join(dfT, Seq("term"))
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("tfidf_raw") + lit(1.0e-9), 4).as("tfidf"))
+  }
+
+  /** Exact NTILE deciles of document length — the corpus-audit report.
+    *
+    * Deliberately NOT a single-partition `Window.orderBy` (which would pull
+    * the whole corpus through one task): the global row number comes from
+    * the classic scalable two-pass pattern — range-repartition by
+    * (doclen, doc_id), count per partition (O(partitions) to the driver),
+    * then assign offsets per partition. Range boundaries vary with
+    * sampling, but the tile assignment depends only on the global order,
+    * which is total (doc_id tiebreak), so the output is deterministic. The
+    * tile arithmetic reproduces SQL NTILE exactly: the first n%k tiles get
+    * the extra row.
+    */
+  def lenDeciles(docs: DataFrame, tiles: Int = 10, parts: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dl = doclens(docs)
+      .select(col("doc_id").cast("long"), col("doclen").cast("long"))
+      .repartitionByRange(parts, col("doclen"), col("doc_id"))
+      .sortWithinPartitions("doclen", "doc_id")
+      .as[(Long, Long)].cache()
+    val counts = dl.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val n = offsets.last
+    val q = n / tiles
+    val r = n % tiles
+    val bOff = spark.sparkContext.broadcast(offsets)
+    dl.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rn = bOff.value(pid)
+      it.map { case (docId, doclen) =>
+        rn += 1
+        val tile =
+          if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+          else r + (rn - r * (q + 1) - 1) / math.max(q, 1L) + 1
+        (tile.toInt, docId, doclen)
+      }
+    }.toDF("decile", "doc_id", "doclen")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), min("doclen").as("min_len"),
+        max("doclen").as("max_len"), sum("doclen").as("sum_len"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive content fingerprint (dedup key robust to shuffling).
     */
