@@ -145,6 +145,10 @@ object SparkEntry {
       TextOps.qualityFilter(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_top_terms" -> ((s, d) =>
       TextOps.topTerms(TextOps.documents(s, d)).orderBy("doc_id", "rank")),
+    "q_pmi_pairs" -> ((s, d) =>
+      TextOps.collocations(TextOps.documents(s, d)).orderBy("w1", "w2")),
+    "q_source_report" -> ((s, d) =>
+      TextOps.sourceReport(TextOps.documents(s, d)).orderBy("source")),
     "q_len_deciles" -> ((s, d) =>
       TextOps.lenDeciles(TextOps.documents(s, d)).orderBy("decile")),
     "q_sq8_topk" -> ((s, d) => {
@@ -784,6 +788,26 @@ object SparkEntry {
          |       FROM tf JOIN dft USING (term) CROSS JOIN stats),
          |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC)::INT AS rank, term, round(tfidf_raw + 1.0e-9, 4) AS tfidf FROM sc)
          |SELECT doc_id, rank, term, tfidf FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_pmi_pairs" ->
+      s"""WITH $TOK,
+         |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+         |gidx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM arrs WHERE len(toks) >= 2),
+         |g AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM gidx),
+         |c2 AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM g GROUP BY 1, 2),
+         |c1 AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*)::BIGINT FROM tok) AS t, (SELECT count(*)::BIGINT FROM g) AS gg)
+         |SELECT c2.w1, c2.w2, c2.n_pair,
+         |  round(ln((c2.n_pair::DOUBLE / tot.gg::DOUBLE) / ((a.n::DOUBLE / tot.t::DOUBLE) * (b.n::DOUBLE / tot.t::DOUBLE))) + 1.0e-9, 4) AS pmi
+         |FROM c2 JOIN c1 a ON c2.w1 = a.term JOIN c1 b ON c2.w2 = b.term CROSS JOIN tot
+         |WHERE c2.n_pair >= 5 ORDER BY c2.w1, c2.w2""".stripMargin,
+    "q_source_report" ->
+      s"""WITH $TOK, $DL
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  sum(coalesce(dl.doclen, 0))::BIGINT AS total_tokens,
+         |  round(sum(coalesce(dl.doclen, 0))::DOUBLE / count(*)::DOUBLE + 1.0e-9, 4) AS mean_doclen,
+         |  count(DISTINCT d.lang)::BIGINT AS n_langs
+         |FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_len_deciles" ->
       s"""WITH $TOK, $DL,
          |t AS (SELECT doc_id, doclen, ntile(10) OVER (ORDER BY doclen, doc_id)::INT AS decile FROM dl)

@@ -194,6 +194,49 @@ object TextOps {
           .as("top_2gram_frac"))
   }
 
+  /** PMI collocations: pointwise mutual information of adjacent token
+    * pairs vs their unigram frequencies — the classic collocation
+    * extractor. Bigram keys are uniform (no head-shingle skew: pairs are
+    * position-anchored), totals are two scalar aggregates broadcast via a
+    * cross join; everything else is two grouped counts.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val toks = col("toks")
+    val grams = docs
+      .select(filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c2 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val c1 = tokens(docs).groupBy("term").agg(count(lit(1)).as("n"))
+    val tot = tokens(docs).agg(count(lit(1)).as("t")).crossJoin(
+      grams.agg(count(lit(1)).as("g")))
+    c2.filter(col("n_pair") >= minCount)
+      .join(c1.select(col("term").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(c1.select(col("term").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(
+        log((col("n_pair").cast("double") / col("g").cast("double")) /
+          ((col("n1").cast("double") / col("t").cast("double")) *
+            (col("n2").cast("double") / col("t").cast("double")))) + lit(1.0e-9), 4))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+  }
+
+  /** Per-source corpus report: document/token counts, mean length, and
+    * language spread — the partition-level audit a curation pipeline emits
+    * per crawl source. One grouped aggregate over uniform source keys.
+    */
+  def sourceReport(docs: DataFrame): DataFrame =
+    docs.join(doclens(docs), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("doclen"), lit(0L))).as("total_tokens"),
+        round(sum(coalesce(col("doclen"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double") + lit(1.0e-9), 4).as("mean_doclen"),
+        count_distinct(col("lang")).as("n_langs"))
+
   /** Heuristic language ID from per-language stopword hit counts.
     * Deterministic tie-break by language code.
     */

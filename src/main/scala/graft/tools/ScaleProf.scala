@@ -27,6 +27,9 @@ object ScaleProf {
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.local.dir", s"$base/spark-local")
         .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_IO_CODEC", "lz4"))
+        .config("spark.shuffle.file.buffer", sys.env.getOrElse("GRAFT_SHUFFLE_BUF", "32k"))
+        .config("spark.shuffle.unsafe.file.output.buffer", sys.env.getOrElse("GRAFT_SHUFFLE_OUT_BUF", "32k"))
+        .config("spark.shuffle.spill.diskWriteBufferSize", sys.env.getOrElse("GRAFT_SPILL_BUF", "1048576"))
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .getOrCreate()
