@@ -62,6 +62,15 @@ object SparkEntry {
     "q_filtered_topk" -> ((s, d) =>
       SearchOps.filteredTopK(TextOps.documents(s, d), RefQueries.set, col("lang") === "en")
         .orderBy("query_id", "rank")),
+    "q_filtered_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      val excluded = TextOps.documents(s, d).filter(col("lang") =!= "en")
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+      QueryEngine.topKWhere(s, idx, RefQueries.set, RefQueries.K, excluded).toDF()
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     "q_search_after" -> ((s, d) =>
       SearchOps.searchAfterPage(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "page_rank")),
@@ -636,6 +645,7 @@ object SparkEntry {
     "q_snippets" -> snippetSql,
     "q_should_match" -> shouldMatchSql,
     "q_filtered_topk" -> filteredTopkSql,
+    "q_filtered_index" -> filteredTopkSql, // index path must equal the relational twin
     "q_search_after" -> searchAfterSql,
     "q_sort_by_field" -> sortByFieldSql,
     "q_prefix_match" -> prefixSql,

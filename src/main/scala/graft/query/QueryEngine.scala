@@ -61,7 +61,21 @@ object QueryEngine {
   }
 
   /** Top-k for a batch of queries. Returns (queryId, rank, docId, score). */
-  def topK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] = {
+  def topK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] =
+    topKWhere(spark, indexDir, queries, k, Set.empty)
+
+  /** Filter-context top-k over the index (ES `bool.filter` served from the
+    * inverted index): identical WAND machinery with an excluded-docId set
+    * merged into the tombstone filter. Exactness is preserved because
+    * exclusions only make block upper bounds MORE conservative — pruning
+    * never drops a candidate that could reach the top-k. idf/avgdl stay
+    * corpus-wide (the index's stats), matching ES filter semantics and the
+    * relational twin bit-for-bit. The driver-side Set mirrors the
+    * tombstone mechanism (bounded by compaction cadence); a serving
+    * deployment would hand buckets a per-bucket bitmap instead.
+    */
+  def topKWhere(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
+      excluded: Set[Long]): Dataset[ScoredDoc] = {
     import spark.implicits._
     val qTerms: Seq[(String, Array[String])] =
       queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
@@ -75,8 +89,9 @@ object QueryEngine {
     val n = stats.n
     val avgdl = stats.avgdl
 
-    // tombstoned docs (streaming replaces awaiting compaction) never surface
-    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir))
+    // tombstoned docs (streaming replaces awaiting compaction) never
+    // surface; filter-context exclusions ride the same mechanism
+    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir) ++ excluded)
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(allTerms: _*))
