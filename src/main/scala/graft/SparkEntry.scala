@@ -74,6 +74,9 @@ object SparkEntry {
     "q_search_after" -> ((s, d) =>
       SearchOps.searchAfterPage(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "page_rank")),
+    "q_bool_not" -> ((s, d) =>
+      SearchOps.mustNotTopK(TextOps.documents(s, d), RefQueries.set, banned = "customer")
+        .orderBy("query_id", "rank")),
     "q_sort_by_field" -> ((s, d) =>
       SearchOps.sortByField(TextOps.documents(s, d), RefQueries.set, "n_chars")
         .orderBy("query_id", "rank")),
@@ -309,6 +312,14 @@ object SparkEntry {
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
        |SELECT query_id, (rank - 10)::INT AS page_rank, doc_id, score FROM ranked
        |WHERE rank BETWEEN 11 AND 20 ORDER BY query_id, page_rank""".stripMargin
+
+  private def mustNotSql: String =
+    s"""WITH $scoredCtes,
+       |banned AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'customer'),
+       |ok AS (SELECT s.query_id, s.doc_id, s.score FROM scored s
+       |       WHERE NOT EXISTS (SELECT 1 FROM banned b WHERE b.doc_id = s.doc_id)),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM ok)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def sortByFieldSql: String =
     s"""WITH $TOK,
@@ -647,6 +658,7 @@ object SparkEntry {
     "q_filtered_topk" -> filteredTopkSql,
     "q_filtered_index" -> filteredTopkSql, // index path must equal the relational twin
     "q_search_after" -> searchAfterSql,
+    "q_bool_not" -> mustNotSql,
     "q_sort_by_field" -> sortByFieldSql,
     "q_prefix_match" -> prefixSql,
     "q_fuzzy_expand" -> fuzzySql,

@@ -113,6 +113,23 @@ object SearchOps {
       .select(col("query_id"), col("page_rank"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** bool.must_not: BM25 ranking excluding every doc that contains the
+    * banned term — the negation clause of the bool query. The exclusion is
+    * an anti-join against the banned term's (doc_id) set: one semi-scan of
+    * the token stream, uniform keys, no full-corpus materialization.
+    */
+  def mustNotTopK(docs: DataFrame, queries: Seq[(String, String)],
+      banned: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val bannedDocs = TextOps.tokens(docs).filter(col("term") === banned)
+      .select("doc_id").distinct()
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(bannedDocs, Seq("doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
   /** Sort-by-field retrieval (ES `sort` without scoring): docs matching ANY
     * query term, ordered by `field` DESC with doc_id as tiebreak, top `k`
     * per query. The match set is a distinct semi-join on term; ranking is a
