@@ -77,6 +77,9 @@ object SparkEntry {
     "q_bool_not" -> ((s, d) =>
       SearchOps.mustNotTopK(TextOps.documents(s, d), RefQueries.set, banned = "customer")
         .orderBy("query_id", "rank")),
+    "q_more_like_this" -> ((s, d) =>
+      SearchOps.moreLikeThis(TextOps.documents(s, d), col("doc_id") < 5)
+        .orderBy("seed_id", "rank")),
     "q_sort_by_field" -> ((s, d) =>
       SearchOps.sortByField(TextOps.documents(s, d), RefQueries.set, "n_chars")
         .orderBy("query_id", "rank")),
@@ -320,6 +323,32 @@ object SparkEntry {
        |       WHERE NOT EXISTS (SELECT 1 FROM banned b WHERE b.doc_id = s.doc_id)),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM ok)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** more_like_this oracle: seed-term selection (top-3 tf·idf, total
+    * tiebreak) and BM25 scoring both reproduced; seed doc excluded.
+    */
+  private def mltSql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |dfall AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf::DOUBLE * ln(stats.n::DOUBLE / dfall.df::DOUBLE) AS tfidf_raw
+       |       FROM tf JOIN dfall USING (term) CROSS JOIN stats),
+       |seedq AS (SELECT doc_id AS seed_id, term FROM
+       |  (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC) AS r FROM sc)
+       |  WHERE r <= 3 AND doc_id < 5),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM seedq) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.seed_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM seedq q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id <> q.seed_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT seed_id, row_number() OVER (PARTITION BY seed_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT seed_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY seed_id, rank""".stripMargin
 
   private def sortByFieldSql: String =
     s"""WITH $TOK,
@@ -659,6 +688,7 @@ object SparkEntry {
     "q_filtered_index" -> filteredTopkSql, // index path must equal the relational twin
     "q_search_after" -> searchAfterSql,
     "q_bool_not" -> mustNotSql,
+    "q_more_like_this" -> mltSql,
     "q_sort_by_field" -> sortByFieldSql,
     "q_prefix_match" -> prefixSql,
     "q_fuzzy_expand" -> fuzzySql,

@@ -35,6 +35,22 @@ object Bm25Sql {
   def scoredDocs(docs: DataFrame, queries: Seq[(String, String)] = RefQueries.set): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val qn = queries.map { case (qid, text) =>
+      (qid, graft.textprep.TextPrep.tokenize(text).distinct.length.toLong)
+    }.toDF("query_id", "nq")
+    scoredFromTermTable(docs, q, "query_id").join(broadcast(qn), Seq("query_id"))
+  }
+
+  /** BM25 scoring against an arbitrary (qidCol, term) query table — the
+    * shared engine behind literal query sets and derived ones
+    * (more_like_this builds its query table FROM the corpus). Emits
+    * (qidCol, doc_id, score, matched); the ordered-fold summation keeps the
+    * score bit-identical to the `sum(x ORDER BY term)` oracle.
+    */
+  def scoredFromTermTable(docs: DataFrame, q: DataFrame, qidCol: String): DataFrame = {
     val tok = TextOps.tokens(docs)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("doclen"))
@@ -42,13 +58,6 @@ object Bm25Sql {
     val st = dl.agg(count(lit(1)).as("n"), sum("doclen").as("tot")).head()
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n.toDouble
-
-    val q = queries.flatMap { case (qid, text) =>
-      graft.textprep.TextPrep.tokenize(text).distinct.map(t => (qid, t))
-    }.toDF("query_id", "term")
-    val qn = queries.map { case (qid, text) =>
-      (qid, graft.textprep.TextPrep.tokenize(text).distinct.length.toLong)
-    }.toDF("query_id", "nq")
 
     val dft = tf.join(q.select("term").distinct(), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -63,13 +72,12 @@ object Bm25Sql {
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("addend", idf * partial)
-      .groupBy("query_id", "doc_id")
+      .groupBy(qidCol, "doc_id")
       .agg(
         aggregate(
           array_sort(collect_list(struct(col("term"), col("addend")))),
           lit(0.0),
           (acc, x) => acc + x.getField("addend")).as("score"),
         count(lit(1)).as("matched"))
-      .join(broadcast(qn), Seq("query_id"))
   }
 }

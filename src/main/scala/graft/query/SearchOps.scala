@@ -152,6 +152,26 @@ object SearchOps {
       .select(col("query_id"), col("rank"), col("doc_id"), col(field))
   }
 
+  /** more_like_this: each seed document's top-`nTerms` tf·idf terms become
+    * the query, BM25-ranked over the corpus with the seed itself excluded.
+    * The derived query table is tiny (seeds × nTerms) and broadcast; the
+    * scoring reuses the exact shared BM25 plan, so the whole operator is
+    * oracle-reproducible end to end (seed-term selection included, since
+    * topTerms breaks ties totally).
+    */
+  def moreLikeThis(docs: DataFrame, seedFilter: Column, nTerms: Int = 3,
+      k: Int = 10): DataFrame = {
+    val q = TextOps.topTerms(docs, nTerms)
+      .join(docs.filter(seedFilter).select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("seed_id"), col("term"))
+    val w = Window.partitionBy(col("seed_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredFromTermTable(docs, broadcast(q), "seed_id")
+      .filter(col("doc_id") =!= col("seed_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("seed_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
   /** Fixed prefix set for the driver query (hits the harness vocabulary:
     * 's' expands to 6 terms, 'sc'/'ha' to one, 'zz' to none).
     */
