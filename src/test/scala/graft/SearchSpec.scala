@@ -58,6 +58,31 @@ class SearchSpec extends SparkSpecBase {
     assert(!rows.exists(_.getString(1) == "qzx"), "no expansion within radius 1 of qzx")
   }
 
+  test("must_not never returns a doc containing the banned term") {
+    val banned = "customer"
+    val rows = SearchOps.mustNotTopK(docs, RefQueries.set, banned).collect()
+    assert(rows.nonEmpty)
+    val bannedDocs = graft.ops.TextOps.tokens(docs)
+      .filter(col("term") === banned).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(!bannedDocs.contains(r.getLong(2))))
+  }
+
+  test("more_like_this excludes the seed and ranks docs sharing its top terms") {
+    val rows = SearchOps.moreLikeThis(docs, col("doc_id") < 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) != r.getLong(0), "seed never in its own result"))
+    // every returned doc shares at least one of the seed's top-3 terms
+    val seedTerms = graft.ops.TextOps.topTerms(docs, 3)
+      .filter(col("doc_id") < 5).collect()
+      .groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getString(2)).toSet }
+    val docTerms = graft.ops.TextOps.tokens(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    rows.foreach { r =>
+      assert(seedTerms(r.getLong(0)).intersect(docTerms(r.getLong(2))).nonEmpty)
+    }
+  }
+
   test("snippets contain at least one query term for every emitted row") {
     val rows = SearchOps.snippets(docs, RefQueries.set, k = 3).collect()
     assert(rows.nonEmpty)
