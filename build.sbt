@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Parquet/compression codecs enter JNI critical sections; under 32
+  // concurrent tasks the default of 2 GCLocker allocation retries throws a
+  // spurious OutOfMemoryError ("Retried waiting for GCLocker too often")
+  // with plenty of heap free — observed killing ~2/5 bench runs.
+  "-XX:GCLockerRetryAllocationCount=64",
 )
