@@ -31,5 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrent tasks the default of 2 GCLocker allocation retries throws a
   // spurious OutOfMemoryError ("Retried waiting for GCLocker too often")
   // with plenty of heap free — observed killing ~2/5 bench runs.
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )
