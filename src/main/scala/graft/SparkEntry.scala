@@ -614,7 +614,7 @@ object SparkEntry {
       |ranked AS (SELECT query_id, vec_id, cosine_raw,
       |             row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id ASC)::INT AS rank
       |           FROM scored)
-      |SELECT query_id, rank, vec_id, round(cosine_raw, 4) AS cosine
+      |SELECT query_id, rank, vec_id, round(cosine_raw, 4) + 0.0 AS cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Recall@10 oracle: IVF ranked set (refined centroids) left-joined onto
@@ -701,7 +701,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_ns_filter" ->
-      """SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+      """SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) + 0.0 AS total_value
         |FROM events
         |WHERE regexp_matches(event_type, '^(click|view|purchase)$') AND NOT regexp_matches(event_type, '^view$')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -710,7 +710,7 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_relate_2hop" ->
-      """SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal) + 1.0e-9, 4) AS avg_bal
+      """SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal) + 1.0e-9, 4) + 0.0 AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_tombstone_anti" ->
@@ -719,7 +719,7 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_patch_lag" ->
       """SELECT user_id, event_id, event_type,
-        |       round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 0.0), 4) AS delta
+        |       round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 0.0), 4) + 0.0 AS delta
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_time_machine" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*)::BIGINT AS n
@@ -740,7 +740,7 @@ object SparkEntry {
       """SELECT json_extract_string(props, '$.k') AS k, count(*)::BIGINT AS n
         |FROM events GROUP BY 1 ORDER BY cast(k AS INT)""".stripMargin,
     "q_invalid_prune" ->
-      """SELECT count(*)::BIGINT AS n_valid, round(sum(value), 4) AS sum_valid
+      """SELECT count(*)::BIGINT AS n_valid, round(sum(value), 4) + 0.0 AS sum_valid
         |FROM events
         |WHERE NOT isnan(value) AND NOT isinf(value) AND year(ts) BETWEEN 0 AND 9999""".stripMargin,
 
@@ -806,7 +806,7 @@ object SparkEntry {
         |  WHERE ev.vec_id <> q.query_id
         |  GROUP BY 1, 2),
         |ranked AS (
-        |  SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine,
+        |  SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) + 0.0 AS cosine,
         |         row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank
         |  FROM pairs)
         |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
@@ -849,7 +849,7 @@ object SparkEntry {
          |c1 AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1),
          |tot AS (SELECT (SELECT count(*)::BIGINT FROM tok) AS t, (SELECT count(*)::BIGINT FROM g) AS gg)
          |SELECT c2.w1, c2.w2, c2.n_pair,
-         |  round(ln((c2.n_pair::DOUBLE / tot.gg::DOUBLE) / ((a.n::DOUBLE / tot.t::DOUBLE) * (b.n::DOUBLE / tot.t::DOUBLE))) + 1.0e-9, 4) AS pmi
+         |  round(ln((c2.n_pair::DOUBLE / tot.gg::DOUBLE) / ((a.n::DOUBLE / tot.t::DOUBLE) * (b.n::DOUBLE / tot.t::DOUBLE))) + 1.0e-9, 4) + 0.0 AS pmi
          |FROM c2 JOIN c1 a ON c2.w1 = a.term JOIN c1 b ON c2.w2 = b.term CROSS JOIN tot
          |WHERE c2.n_pair >= 5 ORDER BY c2.w1, c2.w2""".stripMargin,
     "q_source_report" ->
@@ -880,7 +880,7 @@ object SparkEntry {
         |  FROM dec d JOIN qd ON d.i = qd.i
         |  WHERE d.vec_id <> qd.query_id
         |  GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) AS cosine,
+        |ranked AS (SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) + 0.0 AS cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank FROM pairs)
         |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_fingerprint" ->
@@ -947,7 +947,7 @@ object SparkEntry {
         |         sum((va[i]::DOUBLE) * (vb[i]::DOUBLE) ORDER BY i) /
         |         (sqrt(sum((va[i]::DOUBLE) * (va[i]::DOUBLE) ORDER BY i)) * sqrt(sum((vb[i]::DOUBLE) * (vb[i]::DOUBLE) ORDER BY i))) AS cosine_raw
         |       FROM pi GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(cosine_raw, 4) AS cosine FROM sc
+        |SELECT id_a, id_b, round(cosine_raw, 4) + 0.0 AS cosine FROM sc
         |WHERE cosine_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_canonical_encode" ->
       """SELECT event_id,

@@ -230,30 +230,43 @@ object Dedup {
     * scheme (Kiveris et al., SoCC'14) in practice while staying a drop-in
     * upgrade path if a corpus ever produces long chains.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 200): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var curSum = labels.agg(sum(col("label"))).head().getLong(0)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val nbrMin = sym.join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      converged = nextSum == curSum
-      labels = next
-      curSum = nextSum
-      iter += 1
-    }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      var curSum = labels.agg(sum(col("label"))).head().getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = sym.join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr"))
+        val next = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .localCheckpoint()
+        val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+        converged = nextSum == curSum
+        labels = next
+        curSum = nextSum
+        iter += 1
+      }
+      // A component with diameter > maxIters (a pathological long chain)
+      // must degrade, not crash the dedup job: the partial labels are still
+      // a consistent OVER-segmentation (every label is a reachable minimum,
+      // so no two different components ever merge — clusters are only split
+      // finer than the true components). The large-star/small-star scheme
+      // (Kiveris et al., SoCC'14; O(log n) rounds) is the upgrade path if a
+      // corpus ever hits this warning in practice.
+      if (!converged)
+        System.err.println(
+          s"[dedup] connectedComponents stopped after $maxIters rounds without a " +
+            "fixpoint; returning partial (over-segmented) labels. A diameter this " +
+            "large suggests switching to large-star/small-star.")
+      labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    } finally sym.unpersist()
   }
 
   /** URL canonicalization: lowercase, strip scheme, leading `www.`, query

@@ -36,7 +36,11 @@ object Relational {
     t(spark, sfDir, "events")
       .filter(col("event_type").rlike("^(click|view|purchase)$"))
       .filter(!col("event_type").rlike("^view$"))
-      .groupBy("event_type").agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      // + 0.0 normalizes IEEE -0.0 (a sum rounding to zero from below) to
+      // +0.0, matching the `round(...) + 0.0` in the SQL oracle (DuckDB's
+      // round preserves the sign; Spark's BigDecimal HALF_UP does not)
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        (round(sum("value"), 4) + lit(0.0)).as("total_value"))
       .orderBy("event_type")
 
   /** J1 — relate equi-join (`monstache.go:1221-1358`): the per-row point
@@ -63,7 +67,8 @@ object Relational {
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy("r_name")
-      .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal") + lit(1.0e-9), 4).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        (round(avg("c_acctbal") + lit(1.0e-9), 4) + lit(0.0)).as("avg_bal"))
       .orderBy("r_name")
   }
 
@@ -89,7 +94,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     t(spark, sfDir, "events")
       .withColumn("prev_value", lag(col("value"), 1).over(w))
-      .withColumn("delta", round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4))
+      .withColumn("delta", round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4) + lit(0.0))
       .select("user_id", "event_id", "event_type", "delta")
       .orderBy("user_id", "event_id")
   }
@@ -158,7 +163,7 @@ object Relational {
         col("value") =!= Double.PositiveInfinity &&
         col("value") =!= Double.NegativeInfinity &&
         year(col("ts")).between(0, 9999))
-      .agg(count(lit(1)).as("n_valid"), round(sum("value"), 4).as("sum_valid"))
+      .agg(count(lit(1)).as("n_valid"), (round(sum("value"), 4) + lit(0.0)).as("sum_valid"))
 
   /** M4 — canonical type encoding (`monstachemap/encoding.go:13,27-82`):
     * the observable output formats of every indexed doc —

@@ -41,7 +41,10 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        // + 0.0 normalizes IEEE -0.0 (a cosine rounding to zero from below)
+        // to +0.0, matching the `round(...) + 0.0` in the SQL oracle
+        (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
   }
 
   /** Collected centroid seeds: the C lowest vec_ids (deterministic). C is
@@ -152,7 +155,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
   }
 
   /** Recall@k of the IVF path against the brute-force exact ranking, per
@@ -191,7 +195,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_raw", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
       .filter(col("cosine_raw") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cosine_raw"), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"), (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
   }
 
   /** Scalar (int8) quantization top-k — the memory-scale path for ANN: each
@@ -230,6 +234,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cosine_raw"), 4).as("cosine"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
   }
 }

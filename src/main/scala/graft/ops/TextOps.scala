@@ -122,33 +122,38 @@ object TextOps {
   def lenDeciles(docs: DataFrame, tiles: Int = 10, parts: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // cache is scoped: the `tiles`-row result is materialized while the
+    // cache is live, then released (no storage leak across driver calls)
     val dl = doclens(docs)
       .select(col("doc_id").cast("long"), col("doclen").cast("long"))
       .repartitionByRange(parts, col("doclen"), col("doc_id"))
       .sortWithinPartitions("doclen", "doc_id")
       .as[(Long, Long)].cache()
-    val counts = dl.mapPartitions { it =>
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
-    val n = offsets.last
-    val q = n / tiles
-    val r = n % tiles
-    val bOff = spark.sparkContext.broadcast(offsets)
-    dl.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var rn = bOff.value(pid)
-      it.map { case (docId, doclen) =>
-        rn += 1
-        val tile =
-          if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
-          else r + (rn - r * (q + 1) - 1) / math.max(q, 1L) + 1
-        (tile.toInt, docId, doclen)
-      }
-    }.toDF("decile", "doc_id", "doclen")
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"), min("doclen").as("min_len"),
-        max("doclen").as("max_len"), sum("doclen").as("sum_len"))
+    try {
+      val counts = dl.mapPartitions { it =>
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().toMap
+      val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+      val n = offsets.last
+      val q = n / tiles
+      val r = n % tiles
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val out = dl.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rn = bOff.value(pid)
+        it.map { case (docId, doclen) =>
+          rn += 1
+          val tile =
+            if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+            else r + (rn - r * (q + 1) - 1) / math.max(q, 1L) + 1
+          (tile.toInt, docId, doclen)
+        }
+      }.toDF("decile", "doc_id", "doclen")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), min("doclen").as("min_len"),
+          max("doclen").as("max_len"), sum("doclen").as("sum_len"))
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally dl.unpersist()
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set — an
@@ -216,10 +221,14 @@ object TextOps {
       .join(c1.select(col("term").as("w1"), col("n").as("n1")), Seq("w1"))
       .join(c1.select(col("term").as("w2"), col("n").as("n2")), Seq("w2"))
       .crossJoin(broadcast(tot))
+      // `+ 0.0` after the round normalizes IEEE signed zero: a PMI that
+      // rounds to zero from below is -0.0 under DuckDB's sign-preserving
+      // round but +0.0 under Spark's BigDecimal HALF_UP; the addition maps
+      // both to +0.0 so the byte-level hash gate agrees (twin in oracle SQL).
       .withColumn("pmi", round(
         log((col("n_pair").cast("double") / col("g").cast("double")) /
           ((col("n1").cast("double") / col("t").cast("double")) *
-            (col("n2").cast("double") / col("t").cast("double")))) + lit(1.0e-9), 4))
+            (col("n2").cast("double") / col("t").cast("double")))) + lit(1.0e-9), 4) + lit(0.0))
       .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
   }
 

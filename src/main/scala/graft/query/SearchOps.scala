@@ -101,16 +101,23 @@ object SearchOps {
   def searchAfterPage(docs: DataFrame, queries: Seq[(String, String)],
       k: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    // cache is scoped: the page (≤ k·queries rows) is materialized while the
+    // cache is live, then the cache is released — repeated driver calls must
+    // not accumulate executor storage
     val scored = Bm25Sql.scoredDocs(docs, queries).cache()
-    val cursor = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === k)
-      .select(col("query_id"), col("score").as("c_score"), col("doc_id").as("c_doc"))
-    scored.join(broadcast(cursor), Seq("query_id"))
-      .filter(col("score") < col("c_score") ||
-        (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
-      .withColumn("page_rank", row_number().over(w))
-      .filter(col("page_rank") <= k)
-      .select(col("query_id"), col("page_rank"), col("doc_id"), round(col("score"), 4).as("score"))
+    try {
+      val cursor = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === k)
+        .select(col("query_id"), col("score").as("c_score"), col("doc_id").as("c_doc"))
+      val page = scored.join(broadcast(cursor), Seq("query_id"))
+        .filter(col("score") < col("c_score") ||
+          (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
+        .withColumn("page_rank", row_number().over(w))
+        .filter(col("page_rank") <= k)
+        .select(col("query_id"), col("page_rank"), col("doc_id"), round(col("score"), 4).as("score"))
+      val spark = docs.sparkSession
+      spark.createDataFrame(java.util.Arrays.asList(page.collect(): _*), page.schema)
+    } finally scored.unpersist()
   }
 
   /** bool.must_not: BM25 ranking excluding every doc that contains the

@@ -13,13 +13,30 @@ package graft.tools
   */
 object Affinity {
 
+  /** Host core count captured BEFORE any pin: after pin(n), Linux reports
+    * the current affinity mask through availableProcessors() (= n), so a
+    * late read could never widen the mask back out. `nproc --all` reads the
+    * full host count independent of the mask; fall back to the JVM value
+    * only if nproc is unavailable (then unpin is best-effort, as before).
+    */
+  private lazy val hostCores: Int = {
+    val fromNproc =
+      try {
+        val p = new ProcessBuilder("nproc", "--all").redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor()
+        if (p.exitValue() == 0) out.toIntOption else None
+      } catch { case _: Exception => None }
+    fromNproc.getOrElse(Runtime.getRuntime.availableProcessors())
+  }
+
   /** Pin every thread of this JVM to cores [0, n). No-op if taskset is
     * unavailable (the bench then reports unpinned numbers, as before).
     */
-  def pin(n: Int): Unit = set(s"0-${n - 1}")
+  def pin(n: Int): Unit = { hostCores; set(s"0-${n - 1}") }
 
-  /** Release the pin (all host cores). */
-  def unpin(): Unit = set(s"0-${Runtime.getRuntime.availableProcessors() - 1}")
+  /** Release the pin (all host cores, captured pre-pin). */
+  def unpin(): Unit = set(s"0-${hostCores - 1}")
 
   private def set(cpuList: String): Unit = {
     val pid = ProcessHandle.current().pid()
