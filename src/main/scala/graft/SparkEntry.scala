@@ -64,8 +64,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "q_filtered_index" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
+      // exclusions stay a Dataset end-to-end (bucketed inside topKWhere) —
+      // no O(corpus) driver collect even for a broad filter
       val excluded = TextOps.documents(s, d).filter(col("lang") =!= "en")
-        .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+        .select(col("doc_id").cast("long").as("docId"))
       QueryEngine.topKWhere(s, idx, RefQueries.set, RefQueries.K, excluded).toDF()
         .select(col("queryId").as("query_id"), col("rank"),
           col("docId").as("doc_id"), round(col("score"), 4).as("score"))
@@ -120,6 +122,15 @@ object SparkEntry {
     "q_index_routing" -> ((s, d) => Relational.indexRouting(s, d)),
     "q_ns_discovery" -> ((s, d) =>
       Discovery.namespaceCounts(s, d, include = "^(nation|region|supplier)$", exclude = "^region$")),
+    "q_transform_config" -> ((s, d) => {
+      // F6/M7: the chain comes from the shipped config resource at runtime
+      // (lowercase_text,strip_punct,drop_short for namespace `documents`)
+      val cfg = graft.ops.Transforms.fromResource()
+      graft.ops.Transforms(cfg, "documents", TextOps.documents(s, d))
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          length(col("text")).cast("bigint").as("n_chars_t"))
+        .orderBy("doc_id")
+    }),
 
     // ---- training-data pipeline: dedup ----
     "q_dedup_exact" -> ((s, d) =>
@@ -217,7 +228,12 @@ object SparkEntry {
       Multimodal.mediaMeta(Multimodal.mixedPayload(s, d))
         .select("doc_id", "byte_len", "magic", "kind").orderBy("doc_id")),
     "q_media_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.mixedPayload(s, d)).orderBy("doc_id", "frame"))
+      Multimodal.sampleFrames(Multimodal.mixedPayload(s, d)).orderBy("doc_id", "frame")),
+    "q_media_oversize" -> ((s, d) =>
+      // S7 max-file-size guard audit (monstache.go:1405-1433): per kind,
+      // kept vs dropped under the 300-byte cap
+      Multimodal.oversizeReport(Multimodal.mixedPayload(s, d), maxBytes = 300)
+        .orderBy("kind"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -932,6 +948,19 @@ object SparkEntry {
         |                    ((least(blen, frame * stride + 16) - frame * stride) * 2)::INT)) AS frame_hex
         |FROM frames WHERE frame * stride < blen
         |ORDER BY doc_id, frame""".stripMargin,
+    "q_media_oversize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (octet_length(encode('<html><body>' || text || '</body></html>')) +
+        |     CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 4 ELSE 0 END)::BIGINT AS byte_len,
+        |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                    WHEN 2 THEN 'riff' ELSE 'html' END AS kind
+        |  FROM documents)
+        |SELECT kind, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN byte_len <= 300 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN byte_len > 300 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  max(CASE WHEN byte_len <= 300 THEN byte_len END)::BIGINT AS max_kept_bytes
+        |FROM p GROUP BY kind ORDER BY kind""".stripMargin,
     "q_simhash_pairs" -> simhashSql,
     "q_ann_ivf" -> ivfSql,
     "q_ann_recall" -> recallSql,
@@ -984,6 +1013,12 @@ object SparkEntry {
     "q_ns_discovery" ->
       """SELECT 'nation' AS ns, count(*)::BIGINT AS n_rows FROM nation
         |UNION ALL SELECT 'supplier' AS ns, count(*)::BIGINT AS n_rows FROM supplier
-        |ORDER BY ns""".stripMargin
+        |ORDER BY ns""".stripMargin,
+    // exact twin of the config-selected chain lowercase_text → strip_punct →
+    // drop_short(>=200) over namespace `documents`
+    "q_transform_config" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '[.!?,;:]', '', 'g') AS text FROM documents)
+        |SELECT doc_id, md5(text) AS text_hash, length(text)::BIGINT AS n_chars_t
+        |FROM t WHERE length(text) >= 200 ORDER BY doc_id""".stripMargin
   )
 }

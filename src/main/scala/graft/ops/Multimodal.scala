@@ -74,6 +74,38 @@ object Multimodal {
       .toDF("doc_id", "frame", "frame_bytes", "frame_hex")
   }
 
+  /** S7 parity — oversized-blob guard: drop any payload over `maxBytes`
+    * BEFORE decode/feature work, the reference's `max-file-size` behavior
+    * (`/root/reference/monstache.go:1405-1433`, the size check at `:1425`).
+    * A narrow codegen'd length filter: at 100 TB this is the difference
+    * between skipping a 2 GB blob at the scan and OOMing a decode task on
+    * it.
+    */
+  def sizeGuard(pages: DataFrame, maxBytes: Long): DataFrame =
+    pages.filter(length(col("payload")) <= maxBytes)
+
+  /** Audit twin of `sizeGuard`: per media kind, how many payloads the guard
+    * keeps vs drops and the largest kept size. Kind comes from the magic
+    * bytes as a pure column expression (hex prefix of the payload — no
+    * decode, stays in whole-stage codegen); one uniform-key aggregation.
+    */
+  def oversizeReport(pages: DataFrame, maxBytes: Long): DataFrame = {
+    val magicHex = lower(hex(substring(col("payload"), 1, 4)))
+    val kind = when(magicHex.startsWith("89504e47"), "png")
+      .when(magicHex.startsWith("ffd8ff"), "jpeg")
+      .when(magicHex.startsWith("52494646"), "riff")
+      .when(lower(substring(col("payload"), 1, 5).cast("string")) === "<html", "html")
+      .otherwise("unknown")
+    val kept = length(col("payload")) <= maxBytes
+    pages.select(kind.as("kind"), length(col("payload")).cast("bigint").as("byte_len"),
+        kept.as("kept"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        max(when(col("kept"), col("byte_len"))).as("max_kept_bytes"))
+  }
+
   /** The canonical page table's html column as the media payload. */
   def htmlPayload(spark: SparkSession, sfDir: String): DataFrame =
     graft.corpus.Corpus.pagesFromDocuments(spark, sfDir)

@@ -62,20 +62,32 @@ object QueryEngine {
 
   /** Top-k for a batch of queries. Returns (queryId, rank, docId, score). */
   def topK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] =
-    topKWhere(spark, indexDir, queries, k, Set.empty)
+    topKImpl(spark, indexDir, queries, k, None)
 
   /** Filter-context top-k over the index (ES `bool.filter` served from the
     * inverted index): identical WAND machinery with an excluded-docId set
-    * merged into the tombstone filter. Exactness is preserved because
-    * exclusions only make block upper bounds MORE conservative — pruning
-    * never drops a candidate that could reach the top-k. idf/avgdl stay
-    * corpus-wide (the index's stats), matching ES filter semantics and the
-    * relational twin bit-for-bit. The driver-side Set mirrors the
-    * tombstone mechanism (bounded by compaction cadence); a serving
-    * deployment would hand buckets a per-bucket bitmap instead.
+    * checked at candidate-offer time alongside tombstones. Exactness is
+    * preserved because exclusions only make block upper bounds MORE
+    * conservative — pruning never drops a candidate that could reach the
+    * top-k. idf/avgdl stay corpus-wide (the index's stats), matching ES
+    * filter semantics and the relational twin bit-for-bit.
+    *
+    * `excluded` is a DataFrame with a `docId` column and is BUCKET-LOCAL by
+    * construction: it is joined against the index's docs table on uniform
+    * docId keys (one shuffle) to recover each docId's bucket, then cogrouped
+    * with the postings groups so every bucket receives ONLY its own
+    * exclusions — nothing is ever collected to the driver, so a broad
+    * filter (e.g. "language = en" over 10^12 pages) costs one bounded
+    * per-bucket set, not O(corpus) driver state. A serving deployment would
+    * compact each bucket's set into a roaring bitmap; the hash-set here is
+    * the same design with a simpler container.
     */
   def topKWhere(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
-      excluded: Set[Long]): Dataset[ScoredDoc] = {
+      excluded: org.apache.spark.sql.DataFrame): Dataset[ScoredDoc] =
+    topKImpl(spark, indexDir, queries, k, Some(excluded))
+
+  private def topKImpl(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
+      excluded: Option[org.apache.spark.sql.DataFrame]): Dataset[ScoredDoc] = {
     import spark.implicits._
     val qTerms: Seq[(String, Array[String])] =
       queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
@@ -90,8 +102,8 @@ object QueryEngine {
     val avgdl = stats.avgdl
 
     // tombstoned docs (streaming replaces awaiting compaction) never
-    // surface; filter-context exclusions ride the same mechanism
-    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir) ++ excluded)
+    // surface — a small driver set bounded by compaction cadence
+    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir))
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(allTerms: _*))
@@ -99,17 +111,41 @@ object QueryEngine {
         col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .as[TermPostings]
 
-    val perBucket = postings
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) =>
-        val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+    def bucketWand(rows: Iterator[TermPostings], dead: Set[Long]): Iterator[ScoredDoc] = {
+      val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+      if (byTerm.isEmpty) Iterator.empty
+      else {
         val ts = tstatsB.value
         qTermsB.value.iterator.flatMap { case (qid, terms) =>
           val present = terms.filter(byTerm.contains)
           if (present.isEmpty) Iterator.empty
-          else wandBucket(qid, present, byTerm, ts, n, avgdl, k, tombB.value).iterator
+          else wandBucket(qid, present, byTerm, ts, n, avgdl, k, dead).iterator
         }
       }
+    }
+
+    val grouped = postings.groupByKey(_.bucket)
+    val perBucket = excluded match {
+      case None =>
+        grouped.flatMapGroups((_, rows) => bucketWand(rows, tombB.value))
+      case Some(ex) =>
+        // recover each exclusion's bucket from the docs table (uniform docId
+        // join keys), then cogroup by bucket: exclusions stream into exactly
+        // the bucket task that owns their docId range
+        val docsT = spark.read.parquet(s"$indexDir/docs")
+          .select(col("docId").cast("long").as("docId"), col("bucket").cast("int").as("bucket"))
+        val exBucketed = ex.select(col("docId").cast("long").as("docId"))
+          .join(docsT, Seq("docId"))
+          .select(col("bucket"), col("docId"))
+          .as[(Int, Long)]
+          .groupByKey(_._1)
+        grouped.cogroup(exBucketed) { (_, rows, exRows) =>
+          val tomb = tombB.value
+          val dead = if (exRows.isEmpty && tomb.isEmpty) Set.empty[Long]
+            else exRows.map(_._2).toSet ++ tomb
+          bucketWand(rows, dead)
+        }
+    }
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("queryId")).orderBy(col("score").desc, col("docId").asc)

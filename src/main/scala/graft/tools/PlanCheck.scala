@@ -105,7 +105,19 @@ object PlanCheck {
       wants = Seq("BroadcastNestedLoopJoin"),
       rejects = Seq("SortMergeJoin", "CartesianProduct"))
 
-    // 9. urlmap recrawl lookup: partition pruning on urange must reach the
+    // 9. filter-context index query: exclusions must flow in as a cogrouped
+    // Dataset (bucketed via the docs table), never as a driver-collected
+    // set — the plan must show the CoGroup and a docId join, and the whole
+    // query must build WITHOUT any action on the exclusion side
+    val exDf = TextOps.documents(spark, sfDir).filter(col("lang") =!= "en")
+      .select(col("doc_id").cast("long").as("docId"))
+    val fi = graft.query.QueryEngine.topKWhere(spark, idx, graft.RefQueries.set, 10, exDf)
+    check("filtered index cogroup", fi.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("CoGroup"),
+      rejects = Seq("CartesianProduct"))
+
+    // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
     graft.streaming.StreamIngest.appendBatch(spark,
