@@ -62,16 +62,43 @@ object IndexBuilder {
 
   final case class BuildResult(stats: CorpusStats, numBuckets: Int, indexDir: String)
 
-  /** Phase timing to stderr when GRAFT_PROF is set (metrics analog of the
-    * reference's stats logging, `monstache.go:3510-3527`).
+  /** Phase timing collector: every phase is timed (printed to stderr only
+    * when GRAFT_PROF is set), and the per-run timings feed one status row —
+    * the admin-surface analog of the reference's `/stats` + stats logging
+    * endpoints (`monstache.go:4188-4285`, `monstache.go:3510-3527`).
     */
-  private def phase[A](name: String)(f: => A): A = {
-    if (sys.env.contains("GRAFT_PROF")) {
+  final class PhaseClock {
+    private val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def apply[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val a = f
-      System.err.println(f"BUILD-PHASE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      timings += name -> secs
+      if (sys.env.contains("GRAFT_PROF")) System.err.println(f"BUILD-PHASE $name: $secs%.2f s")
       a
-    } else f
+    }
+    def json: String =
+      timings.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
+    def totalSecs: Double = timings.map(_._2).sum
+  }
+
+  /** One status row per build/append/compact run: snapshot, doc count,
+    * wall seconds, docs/s, per-phase timing JSON. Appended — the table IS
+    * the run history a `/stats` endpoint would serve.
+    */
+  def writeStatus(spark: SparkSession, indexDir: String, kind: String,
+      snapshotId: Long, nDocs: Long, clock: PhaseClock): Unit =
+    writeStatus(spark, indexDir, kind, snapshotId, nDocs, clock.totalSecs, clock.json)
+
+  def writeStatus(spark: SparkSession, indexDir: String, kind: String,
+      snapshotId: Long, nDocs: Long, wallSecs: Double, phaseJson: String): Unit = {
+    import spark.implicits._
+    val dps = if (wallSecs > 0) nDocs.toDouble / wallSecs else 0.0
+    Seq((snapshotId, kind, nDocs, wallSecs, dps, phaseJson,
+        new Timestamp(System.currentTimeMillis())))
+      .toDF("snapshotId", "kind", "nDocs", "wallSecs", "docsPerSec", "phaseSecs", "ts")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/status")
   }
 
   // ---------------------------------------------------------------- docId
@@ -157,6 +184,7 @@ object IndexBuilder {
     */
   def buildFromAssigned(spark: SparkSession, assignedIn: DataFrame, indexDir: String, cfg: Config = Config()): BuildResult = {
     import spark.implicits._
+    val phase = new PhaseClock
     val assigned = assignedIn.select("docId", "bucket", "url", "version", "text")
 
     val doneBuckets: Set[Int] = phase("read-lineage") {
@@ -280,6 +308,7 @@ object IndexBuilder {
     commitSnapshot(spark, indexDir, cfg.snapshotId, stats.n)
 
     delete(spark, stage)
+    writeStatus(spark, indexDir, "build", cfg.snapshotId, stats.n, phase)
     BuildResult(stats, cfg.numBuckets, indexDir)
   }
 

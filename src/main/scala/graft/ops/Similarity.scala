@@ -99,11 +99,36 @@ object Similarity {
     cents
   }
 
-  /** Refined centroids for the IVF family: deterministic seeds + `IvfIters`
-    * Lloyd iterations (pinned so the SQL oracle can reproduce them). */
+  /** Refined centroids for the ORACLE-PINNED IVF family: deterministic
+    * seeds + `IvfIters` Lloyd iterations over the full corpus (pinned so
+    * the SQL oracle can reproduce them bit-for-bit). The scale path below
+    * (`ivfTopKScaled`) relaxes all three knobs.
+    */
   private[graft] val IvfIters = 1
   private def ivfCentroids(corpus: DataFrame, centroids: Int): Seq[(Int, Seq[Double])] =
     refineCentroids(corpus, centroidSeeds(corpus, centroids), IvfIters)
+
+  /** C ∝ √N — the standard IVF sizing (per-bucket candidate lists shrink as
+    * N/√N = √N, balancing probe cost against bucket size). Clamped to keep
+    * the broadcast centroid table and the O(C·dims) update shuffle bounded.
+    */
+  def adaptiveCentroids(n: Long): Int =
+    math.max(4, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Centroids for the SCALE path: C ∝ √N seeds (or an explicit C),
+    * `iters` ≥ 2 Lloyd rounds over a corpus SAMPLE — at 10^12 vectors the
+    * refinement must not rescan the corpus per round; a uniform sample
+    * converges the same centroids (k-means is estimated on samples in every
+    * production ANN build) while assignment still runs over the full table.
+    */
+  private[graft] def scaledCentroids(corpus: DataFrame, centroids: Int = 0, iters: Int = 2,
+      sampleFraction: Double = 0.25, seed: Long = 42L): Seq[(Int, Seq[Double])] = {
+    val c = if (centroids > 0) centroids else adaptiveCentroids(corpus.count())
+    val trainSet =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    refineCentroids(trainSet, centroidSeeds(corpus, c), iters)
+  }
 
   /** Nearest-centroid id as a NARROW column expression: argmax over the
     * inlined centroid vectors via `array_max` on (cdist, -cent_id) structs —
@@ -130,8 +155,19 @@ object Similarity {
     * design; at 100 TB the bucket join replaces the full scan per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, centroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val refined = ivfCentroids(corpus, centroids)
+      nprobe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries, k, ivfCentroids(corpus, centroids), nprobe)
+
+  /** Scale-path IVF: C ∝ √N (or explicit), multi-round Lloyd on a sample.
+    * Same assignment/probe/score machinery as the oracle-pinned path.
+    */
+  def ivfTopKScaled(corpus: DataFrame, queries: DataFrame, k: Int = 10, centroids: Int = 0,
+      iters: Int = 2, nprobe: Int = 4, sampleFraction: Double = 0.25): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      scaledCentroids(corpus, centroids, iters, sampleFraction), nprobe)
+
+  private def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      refined: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("cent_id", nearestCentroidCol(col("embedding"), refined))
     // query side is small — the explode+window probe ranking is fine there
@@ -174,6 +210,28 @@ object Similarity {
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))
       .withColumn("recall", round(col("hits").cast("double") / col("n_exact") + lit(1.0e-9), 4))
+  }
+
+  /** Recall@k at several centroid counts in one report — the tuning
+    * artifact an IVF deployment reads before fixing C (recall falls as C
+    * grows at fixed nprobe; the report makes the trade explicit). The
+    * brute-force exact ranking is computed once and reused across C.
+    */
+  def ivfRecallScaled(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      centroidCounts: Seq[Int] = Seq(16, 64), iters: Int = 2, nprobe: Int = 4,
+      sampleFraction: Double = 0.25): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    centroidCounts.map { c =>
+      val approx = ivfTopKScaled(corpus, queries, k, c, iters, nprobe, sampleFraction)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("hits"))
+        .withColumn("centroids", lit(c))
+        .withColumn("recall", round(col("hits").cast("double") / col("n_exact") + lit(1.0e-9), 4))
+    }.reduce(_ unionByName _)
+      .select("centroids", "query_id", "n_exact", "hits", "recall")
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors sharing a

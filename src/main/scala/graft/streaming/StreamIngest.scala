@@ -48,6 +48,7 @@ object StreamIngest {
   def appendBatch(spark: SparkSession, batch: Dataset[PageDoc], indexDir: String,
       bucketSize: Long = 1 << 16, snapshotId: Long = 1L): Unit = {
     import spark.implicits._
+    val t0 = System.nanoTime()
 
     // in-batch last-writer-wins by version (W1/X2)
     val versioned = batch.toDF()
@@ -218,6 +219,8 @@ object StreamIngest {
     writeDocMeta(spark, indexDir, fAgg.getLong(2), fAgg.getInt(3), n, tot)
     IndexBuilder.commitSnapshot(spark, indexDir, snapshotId, n)
     delete(spark, staging)
+    IndexBuilder.writeStatus(spark, indexDir, "append", snapshotId,
+      fAgg.getLong(0), (System.nanoTime() - t0) / 1e9, "{}")
   }
 
   /** One-time migration for indexes built before the side tables existed
@@ -305,6 +308,7 @@ object StreamIngest {
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
+    val t0 = System.nanoTime()
     if (!exists(spark, s"$indexDir/tombstones")) return
     val tombs = spark.read.parquet(s"$indexDir/tombstones").select("docId").distinct().cache()
     if (tombs.isEmpty) { tombs.unpersist(); return }
@@ -392,6 +396,8 @@ object StreamIngest {
     tombs.unpersist()
     delete(spark, s"$indexDir/tombstones")
     delete(spark, staging)
+    IndexBuilder.writeStatus(spark, indexDir, "compact", st.snapshotId + 1,
+      agg.getLong(0), (System.nanoTime() - t0) / 1e9, "{}")
   }
 
   /** W2 — MERGE-style doc-as-upsert (`monstache.go:3183-3207`): rewrite IN

@@ -62,5 +62,20 @@ class ResumeSpec extends SparkSpecBase {
     val rows = spark.read.parquet(s"$crashed/lineage").groupBy("partitionId").count()
     assert(rows.filter(col("count") =!= 1).count() === 0)
     assert(rows.count() === 8)
+
+    // status table (the /stats-endpoint analog): one row per completed
+    // build run, carrying docs/s and per-phase timings — the crashed
+    // attempt must NOT have written one, the single-shot and the resumed
+    // run must each have exactly one
+    val stOne = spark.read.parquet(s"$oneShot/status")
+    assert(stOne.count() === 1)
+    val r = stOne.head()
+    assert(r.getAs[String]("kind") === "build")
+    assert(r.getAs[Long]("nDocs") > 0L)
+    assert(r.getAs[Double]("wallSecs") > 0.0)
+    assert(r.getAs[Double]("docsPerSec") > 0.0)
+    assert(r.getAs[String]("phaseSecs").contains("\"terms\""))
+    val stCrashed = spark.read.parquet(s"$crashed/status")
+    assert(stCrashed.count() === 1, "crashed attempt must not log a status row")
   }
 }

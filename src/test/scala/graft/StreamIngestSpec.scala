@@ -88,6 +88,58 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(stats.n === 300L)
   }
 
+  test("post-compact scores == fresh-build scores; pre-compact df inflation keeps the top-k set") {
+    import org.apache.spark.sql.Encoders
+    val base = Corpus.synthetic(400, seed = 17L)
+    // recrawl 50 urls with longer content: tombstones + fresh postings, and
+    // term segments keep the DEAD docs' df/cf until compact() (documented
+    // ES-compatible inflation — stats n/tot are already exact pre-compact)
+    val recrawls = base.take(50).map { p =>
+      val t = p.text + " recrawled fresh content"
+      p.copy(
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 86400000L),
+        text = t,
+        html = s"<html><body>$t</body></html>".getBytes("UTF-8"))
+    }
+    val idxDir = Files.createTempDirectory("stream-parity").toString
+    StreamIngest.appendBatch(spark, spark.createDataset(base)(Encoders.product[PageDoc]),
+      idxDir, bucketSize = 64, snapshotId = 1)
+    StreamIngest.appendBatch(spark, spark.createDataset(recrawls)(Encoders.product[PageDoc]),
+      idxDir, bucketSize = 64, snapshotId = 2)
+
+    val pre = QueryEngine.topK(spark, idxDir, queries, 10).collect()
+    StreamIngest.compact(spark, idxDir)
+    val post = QueryEngine.topK(spark, idxDir, queries, 10).collect()
+    val urlOfStream = spark.read.parquet(s"$idxDir/docs")
+      .select("docId", "url").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // fresh build over the surviving versions
+    val union = recrawls ++ base.drop(50)
+    val freshDir = Files.createTempDirectory("stream-parity-fresh").toString
+    graft.index.IndexBuilder.build(spark,
+      spark.createDataset(union)(Encoders.product[PageDoc]), freshDir,
+      graft.index.IndexBuilder.Config(numBuckets = 8))
+    val fresh = QueryEngine.topK(spark, freshDir, queries, 10).collect()
+    val urlOfFresh = spark.read.parquet(s"$freshDir/docs")
+      .select("docId", "url").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    queries.foreach { case (qid, _) =>
+      // (a) post-compact == fresh build: score sequence BIT-equal, url
+      // groups equal (docIds differ by assignment path)
+      val g = byScore(post.filter(_.queryId == qid), urlOfStream)
+      val w = byScore(fresh.filter(_.queryId == qid), urlOfFresh)
+      assert(g.map(_._1) === w.map(_._1), s"$qid: post-compact scores differ from fresh build")
+      g.zip(w).dropRight(1).foreach { case ((gs, gu), (_, wu)) =>
+        assert(gu === wu, s"$qid score=$gs: post-compact url sets differ from fresh build")
+      }
+      // (b) the pre-compact df/cf inflation shifts idf but must not change
+      // the top-k MEMBERSHIP on this corpus
+      val preSet = pre.filter(_.queryId == qid).map(r => urlOfStream(r.docId)).toSet
+      val postSet = post.filter(_.queryId == qid).map(r => urlOfStream(r.docId)).toSet
+      assert(preSet === postSet, s"$qid: pre-compact top-k set differs from post-compact")
+    }
+  }
+
   test("structured streaming file source drives appendBatch (AvailableNow)") {
     val src = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
