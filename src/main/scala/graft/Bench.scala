@@ -8,17 +8,20 @@ import java.nio.file.Files
 
 /** Benchmark harness (driver-run per round → BENCH_r{N}.json).
   *
-  * Four measurements, one JSON line:
-  *  1. scaling protocol (`BASELINE.json` north_rule, sandbox form): the
-  *     identical index-build job on the identical staged corpus at THREE
-  *     levels — local[2]/local[8]/local[32], `spark.sql.shuffle.partitions`
-  *     scaled to match → docs/sec at each + two N→4N efficiency ratios
-  *     (headline = 2→8, below the host kernel-contention knee; 8→32
-  *     reported alongside — see BASELINE.md).
-  *  2. query p95 latency over the reference query set via block-max WAND
+  * Five measurements, one JSON line:
+  *  1. EXECUTOR scaling (`BASELINE.json` north_rule, literal form): the
+  *     identical build on `local-cluster` — real separate executor JVMs —
+  *     at 1x2 vs 4x2 executors, constant per-executor memory → the
+  *     `executors` block with the N→4N efficiency. This is the headline
+  *     scaling artifact.
+  *  2. thread-level scaling corroboration: the same job at
+  *     local[2]/local[8]/local[32], `spark.sql.shuffle.partitions` scaled
+  *     to match → docs/sec at each + two ratio pairs (2→8 sits below the
+  *     host kernel-contention knee — see BASELINE.md).
+  *  3. query p95 latency over the reference query set via block-max WAND
   *     (serving + distributed paths).
-  *  3. streaming append throughput onto the built index (O(batch) path).
-  *  4. per-query wall time of the headline SparkEntry queries on the sf dir.
+  *  4. streaming append throughput onto the built index (O(batch) path).
+  *  5. per-query wall time of the headline SparkEntry queries on the sf dir.
   */
 object Bench {
 
@@ -119,6 +122,69 @@ object Bench {
     val effLowMid = thrMid / ((cpusMid.toDouble / cpusLow) * thrLow)
     val effMidHigh = thrHigh / ((cpusHigh.toDouble / cpusMid) * thrMid)
 
+    // ---- executor scaling (the north rule's literal claim): the identical
+    // build on Spark local-cluster — real separate executor JVMs (own heap,
+    // GC, task threads; shuffles cross process boundaries over netty) — at
+    // 1x2 vs 4x2 executors with constant per-executor memory. This is the
+    // headline scaling artifact; the thread-level numbers above remain as
+    // corroboration below the host-kernel knee (BASELINE.md).
+    val execDocs = sys.env.getOrElse("SPARK_GRAFT_EXEC_DOCS", "500000").toLong
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "3072").toInt
+    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "2").toInt
+    val execLayouts = Seq((1, 2), (4, 2)) // (executors, coresPerExecutor)
+    graft.tools.ClusterProf.ensureSparkScalaVersion()
+    def clusterSession(execs: Int, coresPer: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local-cluster[$execs,$coresPer,$execMemMb]")
+        .appName(s"graft-bench-exec-${execs}x$coresPer")
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory", s"${execMemMb}m")
+        .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.local.dir", s"$ShmBase/spark-local")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val execStaging = shmDir("corpus-exec")
+    locally {
+      val s = session(cpusHigh)
+      Corpus.syntheticDistributed(s, execDocs, seed = 42L, parts = cpusHigh * 2)
+        .write.mode("overwrite").parquet(execStaging)
+      s.stop()
+    }
+    def execBuildOnce(execs: Int, coresPer: Int, warmup: Boolean): Double = {
+      val s = clusterSession(execs, coresPer)
+      import s.implicits._
+      if (warmup)
+        IndexBuilder.build(s,
+          Corpus.syntheticDistributed(s, math.min(execDocs, 100000L), seed = 42L,
+            parts = execs * coresPer * 2),
+          shmDir(s"execwarm$execs"), IndexBuilder.Config(numBuckets = benchBuckets))
+      val pages = s.read.parquet(execStaging).as[graft.model.PageDoc]
+      val (_, sec) = time {
+        IndexBuilder.build(s, pages, shmDir(s"execidx$execs"),
+          IndexBuilder.Config(numBuckets = benchBuckets))
+      }
+      s.stop()
+      sec
+    }
+    val execTimes: Map[(Int, Int), Seq[Double]] =
+      (1 to execReps).flatMap { r =>
+        execLayouts.map { case (e, c) => (e, c) -> execBuildOnce(e, c, warmup = r == 1) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val thrExecLow = execDocs.toDouble / execTimes(execLayouts.head).min
+    val thrExecHigh = execDocs.toDouble / execTimes(execLayouts.last).min
+    val execFactor = execLayouts.last._1.toDouble / execLayouts.head._1
+    val effExec = thrExecHigh / (execFactor * thrExecLow)
+
     // ---- query latency: WAND over a bench index at full parallelism ----
     val s = session(cpusHigh)
     import s.implicits._
@@ -185,7 +251,9 @@ object Bench {
     // kernel-contention knee (cpusLow→cpusMid); the full-pressure
     // cpusMid→cpusHigh pair is reported alongside (see BASELINE.md for the
     // vmstat evidence of why 32 runnable threads saturate this VM's kernel)
+    val execLowName = s"${execLayouts.head._1}x${execLayouts.head._2}"
+    val execHighName = s"${execLayouts.last._1}x${execLayouts.last._2}"
     println(
-      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f},"append_docs_per_sec":$thrAppend%.1f,"query_p95_sec":$p95%.3f,"query_p95_dist_sec":$p95Dist%.3f}""")
+      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"$execLowName","thr_low":$thrExecLow%.1f,"layout_high":"$execHighName","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f},"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f},"append_docs_per_sec":$thrAppend%.1f,"query_p95_sec":$p95%.3f,"query_p95_dist_sec":$p95Dist%.3f}""")
   }
 }

@@ -15,7 +15,31 @@ import org.apache.spark.sql.SparkSession
   * e.g.   runMain graft.tools.ClusterProf 1000000 1x2,4x2 3072
   */
 object ClusterProf {
+
+  /** local-cluster executor launch builds the child command in the DRIVER
+    * JVM via AbstractCommandBuilder.getScalaVersion(), which requires
+    * SPARK_SCALA_VERSION in the process env. When the harness didn't export
+    * it, patch the in-JVM env view (the launcher reads System.getenv; the
+    * forked executor itself never needs the variable). JDK17-safe here:
+    * build.sbt already opens java.base/java.util.
+    */
+  def ensureSparkScalaVersion(): Unit =
+    if (!sys.env.contains("SPARK_SCALA_VERSION")) {
+      try {
+        val env = System.getenv()
+        val f = env.getClass.getDeclaredField("m")
+        f.setAccessible(true)
+        f.get(env).asInstanceOf[java.util.Map[String, String]]
+          .put("SPARK_SCALA_VERSION", "2.13")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[clusterprof] could not set SPARK_SCALA_VERSION: $e " +
+            "(export it before running if executor launch fails)")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
+    ensureSparkScalaVersion()
     val nDocs = args.headOption.map(_.toLong).getOrElse(200000L)
     val layouts = args.drop(1).headOption.getOrElse("1x2,4x2")
       .split(",").toSeq.map { s => val Array(e, c) = s.split("x"); (e.toInt, c.toInt) }
