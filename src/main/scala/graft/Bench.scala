@@ -38,6 +38,11 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // 16 MB input splits: the staged corpus is a few hundred MB, and the
+      // default 128 MB splits give the scan→tokenize and scan→shuffle-write
+      // stages only ~6 tasks — fine at 2 cores, starving 8–32 (measured:
+      // tokenize sped up only 1.6x from 1x2 to 4x2 executors until this)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
@@ -93,6 +98,11 @@ object Bench {
     // window land entirely on one level and fabricate an efficiency
     // anywhere between 0.6 and 1.0 for the SAME plan (per-phase profiling
     // shows the build itself scales ~4x from 2 to 8 cores, ScaleProf).
+    // SPARK_GRAFT_EXEC_ONLY=1: run only the executor-scaling block (dev
+    // iteration on the north-rule artifact without the ~20 min of other
+    // sections); prints a reduced JSON line
+    val execOnly = sys.env.get("SPARK_GRAFT_EXEC_ONLY").contains("1")
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val levels = Seq(cpusLow, cpusMid, cpusHigh)
     def buildOnce(cpus: Int): Double = {
@@ -114,7 +124,8 @@ object Bench {
       s.stop()
     }
     val times: Map[Int, Seq[Double]] =
-      (1 to reps).flatMap(_ => levels.map(c => c -> buildOnce(c)))
+      if (execOnly) levels.map(_ -> Seq(1.0)).toMap
+      else (1 to reps).flatMap(_ => levels.map(c => c -> buildOnce(c)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val thrLow = benchDocs.toDouble / times(cpusLow).min
     val thrMid = benchDocs.toDouble / times(cpusMid).min
@@ -128,9 +139,9 @@ object Bench {
     // 1x2 vs 4x2 executors with constant per-executor memory. This is the
     // headline scaling artifact; the thread-level numbers above remain as
     // corroboration below the host-kernel knee (BASELINE.md).
-    val execDocs = sys.env.getOrElse("SPARK_GRAFT_EXEC_DOCS", "500000").toLong
+    val execDocs = sys.env.getOrElse("SPARK_GRAFT_EXEC_DOCS", "1000000").toLong
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "3072").toInt
-    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "2").toInt
+    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "3").toInt
     val execLayouts = Seq((1, 2), (4, 2)) // (executors, coresPerExecutor)
     graft.tools.ClusterProf.ensureSparkScalaVersion()
     def clusterSession(execs: Int, coresPer: Int): SparkSession = {
@@ -140,6 +151,7 @@ object Bench {
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory", s"${execMemMb}m")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -184,6 +196,14 @@ object Bench {
     val thrExecHigh = execDocs.toDouble / execTimes(execLayouts.last).min
     val execFactor = execLayouts.last._1.toDouble / execLayouts.head._1
     val effExec = thrExecHigh / (execFactor * thrExecLow)
+
+    if (execOnly) {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(ShmBase)).deleteRecursively()
+      println(
+        f"""{"metric":"exec_only","executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f}}""")
+      return
+    }
 
     // ---- query latency: WAND over a bench index at full parallelism ----
     val s = session(cpusHigh)

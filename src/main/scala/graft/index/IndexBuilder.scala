@@ -261,24 +261,21 @@ object IndexBuilder {
     val groups = math.max(1, cfg.checkpointGroups)
     for (g <- 0 until groups) {
       // shuffle one fat row per doc (≈100x fewer rows than per-posting
-      // tuples), THEN explode in a typed flatMap (narrow), THEN the
-      // in-partition external sort feeds the streaming blockify iterator.
-      // (A Generate/arrays_zip SQL explode was measured 6x slower here —
-      // per-row struct-array materialization dominates.)
-      val postings = spark.read.parquet(stage)
+      // tuples), sort the FAT rows by (bucket, docId) — thousands per
+      // partition, never the exploded postings — and SPIMI-invert in
+      // memory (see spimiBlockify; the old explode + 345M-row external
+      // sort was the scaling bottleneck on multi-executor runs).
+      val fatRows = spark.read.parquet(stage)
         .select(col("bucket"), col("docId"), col("doclen"), col("terms"), col("tfs"))
         .filter(pmod(col("bucket"), lit(groups)) === g)
         // explicit count (one partition per bucket): AQE byte-based
-        // coalescing would serialize the CPU-bound sort+blockify stage
+        // coalescing would serialize the CPU-bound inversion stage
         .repartition(cfg.numBuckets, col("bucket"))
+        .sortWithinPartitions("bucket", "docId")
         .as[(Int, Long, Int, Array[String], Array[Int])]
-        .flatMap { case (bucket, docId, dl, terms, tfs) =>
-          terms.indices.iterator.map(i => Posting(bucket, terms(i), docId, tfs(i), dl))
-        }
       phase(s"postings-group-$g") {
-        postings
-          .sortWithinPartitions("bucket", "term", "docId")
-          .mapPartitions(blockify)(
+        fatRows
+          .mapPartitions(spimiBlockify)(
             org.apache.spark.sql.Encoders.product[TermPostings])
           .toDF()
           .withColumn("pbucket", col("bucket"))
@@ -325,8 +322,34 @@ object IndexBuilder {
       .write.mode(SaveMode.Append).parquet(s"$indexDir/snapshots")
   }
 
+  /** Fat-row postings segment writer: shuffle one row per doc by bucket,
+    * sort fat rows in-partition, SPIMI-invert (see spimiBlockify). Used by
+    * the streaming append; the batch build inlines the same shape per
+    * checkpoint group.
+    */
+  def writePostingsSegmentFat(spark: SparkSession, fatRowsIn: DataFrame, path: String,
+      append: Boolean, codec: String = "zstd"): Unit = {
+    import spark.implicits._
+    val blocksDF = fatRowsIn
+      .select(col("bucket"), col("docId"), col("doclen"), col("terms"), col("tfs"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
+      .sortWithinPartitions("bucket", "docId")
+      .as[(Int, Long, Int, Array[String], Array[Int])]
+      .mapPartitions(spimiBlockify)(
+        org.apache.spark.sql.Encoders.product[TermPostings])
+    blocksDF.toDF()
+      .withColumn("pbucket", col("bucket"))
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket")
+      .option("compression", codec)
+      .option("parquet.enable.dictionary", "false")
+      .parquet(path)
+  }
+
   /** Shuffle-by-bucket + in-partition sort + streaming block compression —
-    * shared by the batch build, streaming append, and compaction.
+    * the per-posting-row path, kept for compaction (whose input is decoded
+    * posting rows).
     */
   def writePostingsSegment(spark: SparkSession, postings: Dataset[Posting], path: String,
       append: Boolean, codec: String = "zstd"): Unit = {
@@ -423,9 +446,91 @@ object IndexBuilder {
   def bm25PartialCol(tf: org.apache.spark.sql.Column, doclen: org.apache.spark.sql.Column, avgdl: Double): org.apache.spark.sql.Column =
     tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * doclen / lit(avgdl)))
 
+  /** Growable parallel posting arrays for one (bucket, term) during SPIMI
+    * inversion — primitive arrays, no per-posting boxing.
+    */
+  private final class PostingAcc {
+    private var ds = new Array[Long](8)
+    private var fs = new Array[Int](8)
+    private var ls = new Array[Int](8)
+    private var n = 0
+    var cf = 0L
+    def add(docId: Long, tf: Int, dl: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n << 1)
+        fs = java.util.Arrays.copyOf(fs, n << 1)
+        ls = java.util.Arrays.copyOf(ls, n << 1)
+      }
+      ds(n) = docId; fs(n) = tf; ls(n) = dl; n += 1; cf += tf
+    }
+    def docIds: Array[Long] = java.util.Arrays.copyOf(ds, n)
+    def tfs: Array[Int] = java.util.Arrays.copyOf(fs, n)
+    def dls: Array[Int] = java.util.Arrays.copyOf(ls, n)
+  }
+
+  /** SPIMI-style in-memory inversion (the north star's literal build shape):
+    * consume one partition's FAT doc rows — (bucket, docId, doclen, terms,
+    * tfs), sorted by (bucket, docId) — and emit compressed TermPostings per
+    * (bucket, term), terms ascending.
+    *
+    * Docs are visited in ascending docId, so every term's posting arrays
+    * accumulate ALREADY sorted — no per-posting sort at all. This replaces
+    * the explode-then-external-sort pipeline that dominated the build: a
+    * 64-bucket 1.5M-doc build sorted ~345M exploded posting rows (≈5.4M per
+    * partition, spilling) where SPIMI sorts ~23K fat rows per partition and
+    * does one hash insert per posting. Measured on `local-cluster`: the
+    * explode+sort postings phase scaled 1.07x from 1x2 to 4x2 executors
+    * (spill + GC + shuffle contention); inversion is narrow per-partition
+    * CPU work.
+    *
+    * Memory bound: one bucket's mini-index must fit task memory. That is
+    * ALREADY the engine's invariant — a head term's TermPostings row spans
+    * its whole bucket by design — and numBuckets scales with the corpus
+    * (docId-range sharding), so per-bucket size is an operator-controlled
+    * constant at any scale.
+    */
+  private[index] def spimiBlockify(
+      it: Iterator[(Int, Long, Int, Array[String], Array[Int])]): Iterator[TermPostings] =
+    new Iterator[TermPostings] {
+      private val buf = it.buffered
+      private var pending: Iterator[TermPostings] = Iterator.empty
+      def hasNext: Boolean = pending.hasNext || buf.hasNext
+      def next(): TermPostings = {
+        if (!pending.hasNext) invertNextBucket()
+        pending.next()
+      }
+      private def invertNextBucket(): Unit = {
+        val bucket = buf.head._1
+        val acc = new java.util.HashMap[String, PostingAcc]()
+        while (buf.hasNext && buf.head._1 == bucket) {
+          val (_, docId, dl, terms, tfs) = buf.next()
+          var i = 0
+          while (i < terms.length) {
+            var a = acc.get(terms(i))
+            if (a == null) { a = new PostingAcc; acc.put(terms(i), a) }
+            a.add(docId, tfs(i), dl)
+            i += 1
+          }
+        }
+        val termArr = acc.keySet().toArray(new Array[String](acc.size()))
+        java.util.Arrays.sort(termArr.asInstanceOf[Array[AnyRef]]) // ASCII terms: = UTF-8 order
+        pending = termArr.iterator.map { t =>
+          val a = acc.get(t)
+          val docIds = a.docIds
+          val blocks = Blocks.build(docIds, a.tfs, a.dls)
+          TermPostings(bucket, t, docIds.length.toLong, a.cf,
+            blocks.map(_.maxTf).max, blocks.map(_.minDl).min,
+            blocks.map(Blocks.byteSize).sum,
+            docIds.head, docIds.last, blocks)
+        }
+      }
+    }
+
   /** Consume a (bucket, term, docId)-sorted posting stream, emitting one
     * TermPostings row per (bucket, term) with compressed blocks. Bounded
-    * memory: buffers exactly one term-run of one bucket.
+    * memory: buffers exactly one term-run of one bucket. (Kept for the
+    * compaction path, whose input is decoded per-posting rows; the batch
+    * build and streaming append use `spimiBlockify` over fat doc rows.)
     */
   private def blockify(it: Iterator[Posting]): Iterator[TermPostings] =
     new Iterator[TermPostings] {

@@ -157,12 +157,10 @@ object StreamIngest {
       .partitionBy("dbucket").parquet(docsPath)
 
     // postings for the batch's buckets: dynamic overwrite of those pbuckets
-    val postings = assigned.select("bucket", "docId", "doclen", "terms", "tfs")
-      .as[(Int, Long, Int, Array[String], Array[Int])]
-      .flatMap { case (bucket, docId, dl, terms, tfs) =>
-        terms.indices.iterator.map(i => Posting(bucket, terms(i), docId, tfs(i), dl))
-      }
-    IndexBuilder.writePostingsSegment(spark, postings, s"$indexDir/postings", append = false)
+    // (SPIMI inversion over the batch's fat rows — same path as the build)
+    IndexBuilder.writePostingsSegmentFat(spark,
+      assigned.select("bucket", "docId", "doclen", "terms", "tfs"),
+      s"$indexDir/postings", append = false)
 
     // positional sidecar, iff this index maintains one: tokenize-with-
     // positions over the batch's admitted text only, dynamic overwrite of

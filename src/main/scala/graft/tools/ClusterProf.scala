@@ -57,6 +57,7 @@ object ClusterProf {
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory", s"${memMb}m")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
