@@ -85,6 +85,9 @@ object SparkEntry {
     "q_sort_by_field" -> ((s, d) =>
       SearchOps.sortByField(TextOps.documents(s, d), RefQueries.set, "n_chars")
         .orderBy("query_id", "rank")),
+    "q_boost_match" -> ((s, d) =>
+      SearchOps.boostedTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
     "q_prefix_match" -> ((s, d) =>
       SearchOps.prefixMatch(TextOps.documents(s, d)).orderBy("prefix_id")),
     "q_fuzzy_expand" -> ((s, d) =>
@@ -307,6 +310,33 @@ object SparkEntry {
        |  JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN stats
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Boosted twin of bm25Sql: per-term boost multiplies each addend before
+    * the ordered summation (same association as the Spark column:
+    * `(idf * partial) * boost`); terms without a boost row default to 1.0.
+    */
+  private def boostSql: String = {
+    val bvals = graft.query.SearchOps.Boosts
+      .map { case (t, b) => s"('$t', $b::DOUBLE)" }.mkString(", ")
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |b(term, boost) AS (VALUES $bvals),
+       |qb AS (SELECT q.query_id, q.term, coalesce(b.boost, 1.0::DOUBLE) AS boost FROM q LEFT JOIN b USING (term)),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT qb.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       * qb.boost
+       |       ORDER BY qb.term ) AS score
+       |  FROM qb JOIN tf ON qb.term = tf.term
+       |  JOIN dft ON qb.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def shouldMatchSql: String =
     s"""WITH $scoredCtes,
@@ -706,6 +736,7 @@ object SparkEntry {
     "q_bool_not" -> mustNotSql,
     "q_more_like_this" -> mltSql,
     "q_sort_by_field" -> sortByFieldSql,
+    "q_boost_match" -> boostSql,
     "q_prefix_match" -> prefixSql,
     "q_fuzzy_expand" -> fuzzySql,
     "q_index_termstats" ->

@@ -49,6 +49,10 @@ object Bm25Sql {
     * (more_like_this builds its query table FROM the corpus). Emits
     * (qidCol, doc_id, score, matched); the ordered-fold summation keeps the
     * score bit-identical to the `sum(x ORDER BY term)` oracle.
+    *
+    * If `q` carries a `boost` column, each term's contribution is
+    * multiplied by it (ES query-time boosting) — `(idf*partial)*boost`,
+    * same association as the oracle's `ln(...) * (...) * boost`.
     */
   def scoredFromTermTable(docs: DataFrame, q: DataFrame, qidCol: String): DataFrame = {
     val tok = TextOps.tokens(docs)
@@ -68,10 +72,12 @@ object Bm25Sql {
     val partial = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(avgdl)))
 
+    val addend =
+      if (q.columns.contains("boost")) idf * partial * col("boost") else idf * partial
     q.join(tf, Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
-      .withColumn("addend", idf * partial)
+      .withColumn("addend", addend)
       .groupBy(qidCol, "doc_id")
       .agg(
         aggregate(

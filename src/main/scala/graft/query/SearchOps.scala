@@ -179,6 +179,35 @@ object SearchOps {
       .select(col("seed_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Query-time per-term boost weights (ES `match` `boost` /
+    * per-clause boosting): deterministic fixture shared with the oracle —
+    * down-weights the head term, up-weights discriminative ones; terms
+    * absent here default to 1.0.
+    */
+  val Boosts: Seq[(String, Double)] = Seq(
+    "the" -> 0.2, "spark" -> 3.0, "query" -> 2.0, "join" -> 1.5, "scan" -> 1.5)
+
+  /** Boosted BM25 top-k (ES query-time boosting): each term's contribution
+    * is scaled by its boost before the ordered summation —
+    * `(idf*partial)*boost`, association pinned to the oracle. Same plan
+    * shape as the unboosted ranking (the boost rides the broadcast query
+    * table; no extra shuffle).
+    */
+  def boostedTopK(docs: DataFrame, queries: Seq[(String, String)],
+      boosts: Seq[(String, Double)] = Boosts, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bm = boosts.toMap
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t, bm.getOrElse(t, 1.0)))
+    }.toDF("query_id", "term", "boost")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredFromTermTable(docs, q, "query_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
   /** Fixed prefix set for the driver query (hits the harness vocabulary:
     * 's' expands to 6 terms, 'sc'/'ha' to one, 'zz' to none).
     */
