@@ -88,6 +88,9 @@ object SparkEntry {
     "q_boost_match" -> ((s, d) =>
       SearchOps.boostedTopK(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "rank")),
+    "q_constant_score" -> ((s, d) =>
+      SearchOps.constantScoreTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
     "q_prefix_match" -> ((s, d) =>
       SearchOps.prefixMatch(TextOps.documents(s, d)).orderBy("prefix_id")),
     "q_fuzzy_expand" -> ((s, d) =>
@@ -737,6 +740,14 @@ object SparkEntry {
     "q_more_like_this" -> mltSql,
     "q_sort_by_field" -> sortByFieldSql,
     "q_boost_match" -> boostSql,
+    "q_constant_score" ->
+      s"""WITH $TOK,
+         |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+         |m AS (SELECT DISTINCT q.query_id, dt.doc_id
+         |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term),
+         |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC)::INT AS rank, doc_id FROM m)
+         |SELECT query_id, rank, doc_id, 1.0::DOUBLE AS score FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_prefix_match" -> prefixSql,
     "q_fuzzy_expand" -> fuzzySql,
     "q_index_termstats" ->

@@ -208,6 +208,28 @@ object SearchOps {
       .select(col("query_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** constant_score (ES): every doc matching ANY query term scores exactly
+    * `boost` — scoring is skipped entirely (the ES optimization this query
+    * exists for). The match set is the same distinct semi-join as
+    * facet/sort retrieval; ranking degenerates to the doc_id tie-break, so
+    * the top-k is the k lowest matching doc_ids per query.
+    */
+  def constantScoreTopK(docs: DataFrame, queries: Seq[(String, String)],
+      boost: Double = 1.0, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val matched = TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(q), Seq("term"))
+      .select("query_id", "doc_id").distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("doc_id").asc)
+    matched.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), lit(boost).as("score"))
+  }
+
   /** Fixed prefix set for the driver query (hits the harness vocabulary:
     * 's' expands to 6 terms, 'sc'/'ha' to one, 'zz' to none).
     */
