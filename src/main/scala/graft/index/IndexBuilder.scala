@@ -494,9 +494,16 @@ object IndexBuilder {
     new Iterator[TermPostings] {
       private val buf = it.buffered
       private var pending: Iterator[TermPostings] = Iterator.empty
-      def hasNext: Boolean = pending.hasNext || buf.hasNext
+      // a bucket whose docs ALL tokenized to zero terms inverts to an empty
+      // iterator — advance across such buckets instead of assuming one
+      // inversion yields at least one row (a batch of non-ASCII pages is
+      // exactly this shape)
+      def hasNext: Boolean = {
+        while (!pending.hasNext && buf.hasNext) invertNextBucket()
+        pending.hasNext
+      }
       def next(): TermPostings = {
-        if (!pending.hasNext) invertNextBucket()
+        if (!hasNext) throw new NoSuchElementException("spimiBlockify exhausted")
         pending.next()
       }
       private def invertNextBucket(): Unit = {

@@ -98,6 +98,33 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(hitsOld.isEmpty, "stale version must be dropped")
   }
 
+  test("bucket of token-less docs builds without crashing (SPIMI empty bucket)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // bucket 0: real docs; bucket 1: every doc tokenizes to ZERO terms (the
+    // non-ASCII-batch shape) — inversion of bucket 1 must yield an empty
+    // iterator, not a NoSuchElementException
+    val rows = (0L until 10L).map(i => (i, 0, s"u/$i", 0L, s"alpha beta tok$i")) ++
+      (10L until 20L).map(i => (i, 1, s"u/$i", 0L, "!!! ??? ***"))
+    val assigned = rows.toDF("docId", "bucket", "url", "version", "text")
+    val dir = Files.createTempDirectory("idx-emptybucket").toString
+    val r = IndexBuilder.buildFromAssigned(spark, assigned, dir,
+      IndexBuilder.Config(numBuckets = 2))
+    assert(r.stats.n === 10L, "stats.n counts only docs with tokens")
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.filter(col("bucket") === 1).count() === 0L)
+    val hits = QueryEngine.topK(spark, dir, Seq("q" -> "alpha"), 20).collect()
+    assert(hits.length === 10)
+    // trailing-empty-bucket order too: bucket 0 token-less, bucket 1 real
+    val rows2 = (0L until 10L).map(i => (i, 0, s"v/$i", 0L, "!!!")) ++
+      (10L until 20L).map(i => (i, 1, s"v/$i", 0L, "gamma delta"))
+    val dir2 = Files.createTempDirectory("idx-emptybucket2").toString
+    val r2 = IndexBuilder.buildFromAssigned(spark, rows2.toDF("docId", "bucket", "url", "version", "text"),
+      dir2, IndexBuilder.Config(numBuckets = 2))
+    assert(r2.stats.n === 10L)
+    assert(QueryEngine.topK(spark, dir2, Seq("q" -> "gamma"), 20).collect().length === 10)
+  }
+
   test("rebuild is deterministic: same docIds, same stats") {
     val tmp2 = Files.createTempDirectory("graftidx2").toString
     // different input partitioning must not change any output
