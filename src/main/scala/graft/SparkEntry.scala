@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
-import graft.query.{Bm25Sql, QueryEngine, SearchOps}
+import graft.query.{Bm25Sql, IndexSearch, QueryEngine, SearchOps}
 import graft.sources.Discovery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,6 +108,63 @@ object SparkEntry {
       // terms may hold several append segments — aggregate on read
       s.read.parquet(s"$idx/terms").groupBy("term")
         .agg(sum("df").as("df")).orderBy("term")
+    }),
+
+    // ---- the same query DSL served FROM the index (IndexSearch) — each
+    // entry shares its relational twin's oracle, so the driver hash-checks
+    // index path ≡ full-scan path, the q_filtered_index pattern ----
+    "q_bool_not_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.mustNotTopK(s, idx, RefQueries.set, banned = "customer").toDF()
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_should_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      QueryEngine.topKShould(s, idx, RefQueries.set, RefQueries.K, m = 2).toDF()
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_boost_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      QueryEngine.topKBoosted(s, idx, RefQueries.set, RefQueries.K, SearchOps.Boosts.toMap).toDF()
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_constant_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.constantScoreTopK(s, idx, RefQueries.set).orderBy("query_id", "rank")
+    }),
+    "q_facet_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.facetCounts(s, idx, RefQueries.set, TextOps.documents(s, d), "lang")
+        .orderBy("query_id", "lang")
+    }),
+    "q_sort_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.sortByField(s, idx, RefQueries.set, TextOps.documents(s, d), "n_chars")
+        .orderBy("query_id", "rank")
+    }),
+    "q_search_after_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.searchAfterPage(s, idx, RefQueries.set).orderBy("query_id", "page_rank")
+    }),
+    "q_mlt_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.moreLikeThis(s, idx,
+        TextOps.documents(s, d).filter(col("doc_id") < 5).select("doc_id", "text"))
+        .orderBy("seed_id", "rank")
+    }),
+    "q_prefix_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.prefixMatch(s, idx, SearchOps.Prefixes).orderBy("prefix_id")
+    }),
+    "q_fuzzy_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.fuzzyExpand(s, idx, SearchOps.Fuzzies).orderBy("query_id", "term")
     }),
 
     // ---- reference pipeline operators (monstache analogs) ----
@@ -704,7 +761,37 @@ object SparkEntry {
       |FROM bfr b LEFT JOIN ivfr iv ON b.query_id = iv.query_id AND b.vec_id = iv.vec_id
       |GROUP BY 1 ORDER BY b.query_id""".stripMargin
 
+  private def facetSql: String =
+    s"""WITH $TOK,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, dt.doc_id
+       |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term)
+       |SELECT query_id, lang, count(*)::BIGINT AS n_docs
+       |FROM m JOIN documents USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin
+
+  private def constantScoreSql: String =
+    s"""WITH $TOK,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, dt.doc_id
+       |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term),
+       |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC)::INT AS rank, doc_id FROM m)
+       |SELECT query_id, rank, doc_id, 1.0::DOUBLE AS score FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // ---- index-served DSL twins: identical oracles to the relational
+    // paths — the driver's hash compare IS the index ≡ full-scan proof ----
+    "q_bool_not_index" -> mustNotSql,
+    "q_should_index" -> shouldMatchSql,
+    "q_boost_index" -> boostSql,
+    "q_constant_index" -> constantScoreSql,
+    "q_facet_index" -> facetSql,
+    "q_sort_index" -> sortByFieldSql,
+    "q_search_after_index" -> searchAfterSql,
+    "q_mlt_index" -> mltSql,
+    "q_prefix_index" -> prefixSql,
+    "q_fuzzy_index" -> fuzzySql,
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,
@@ -721,14 +808,7 @@ object SparkEntry {
     "q_bm25_topk" -> bm25Sql,
     "q_wand_topk" -> bm25Sql, // WAND must be rank-identical to the oracle
     "q_bool_and" -> boolAndSql,
-    "q_facet_counts" ->
-      s"""WITH $TOK,
-         |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
-         |m AS (SELECT DISTINCT q.query_id, dt.doc_id
-         |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term)
-         |SELECT query_id, lang, count(*)::BIGINT AS n_docs
-         |FROM m JOIN documents USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin,
+    "q_facet_counts" -> facetSql,
     "q_phrase_match" -> phraseSql,
     "q_phrase_index" -> phraseSql, // index path must equal the relational twin
     "q_snippets" -> snippetSql,
@@ -740,14 +820,7 @@ object SparkEntry {
     "q_more_like_this" -> mltSql,
     "q_sort_by_field" -> sortByFieldSql,
     "q_boost_match" -> boostSql,
-    "q_constant_score" ->
-      s"""WITH $TOK,
-         |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
-         |m AS (SELECT DISTINCT q.query_id, dt.doc_id
-         |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term),
-         |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC)::INT AS rank, doc_id FROM m)
-         |SELECT query_id, rank, doc_id, 1.0::DOUBLE AS score FROM r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_constant_score" -> constantScoreSql,
     "q_prefix_match" -> prefixSql,
     "q_fuzzy_expand" -> fuzzySql,
     "q_index_termstats" ->

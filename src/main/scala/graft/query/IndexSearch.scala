@@ -1,0 +1,289 @@
+package graft.query
+
+import graft.codec.Blocks
+import graft.model._
+import graft.textprep.TextPrep
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The rest of the ES query DSL served FROM the inverted index — the
+  * operators the reference delegates to Elasticsearch
+  * (`/root/reference/monstache.go:46,657-670`) whose round-3 implementations
+  * ranked over a relational full scan (O(corpus) per query). Every operator
+  * here reads only term-pushdown-pruned postings / the term dictionary /
+  * the docs sidecar tables, and each has a relational twin whose DuckDB
+  * oracle it must match hash-for-hash (the `q_filtered_index` ≡
+  * `q_filtered_topk` pattern).
+  *
+  * Scale shape shared by all: the postings scan prunes to the query terms
+  * at the parquet reader; per-bucket work touches one mini-index; merges are
+  * k·buckets (top-k ops) or match-set-sized (facet/sort — the same
+  * cardinality ES's own aggregations traverse per shard).
+  */
+object IndexSearch {
+
+  /** All docIds of one term, decoded from its postings rows. Buckets are
+    * docId-disjoint and a term appears once per bucket, so the union is
+    * distinct by construction. One term-pruned scan; decode is docIds-only
+    * (tf/doclen bytes are never touched).
+    */
+  def termDocIds(spark: SparkSession, indexDir: String, term: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term") === term)
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap(tp => tp.blocks.iterator.flatMap(b => Blocks.decodeDocIds(b).iterator))
+      .toDF("docId")
+  }
+
+  /** bool.must_not served from the index: the banned term's posting list
+    * becomes the exclusion Dataset of the filter-context WAND — it rides the
+    * same bucket-local cogroup as tombstones (nothing driver-side), and
+    * pruning exactness is the `topKWhere` argument unchanged.
+    */
+  def mustNotTopK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      banned: String, k: Int = 10): Dataset0 =
+    QueryEngine.topKWhere(spark, indexDir, queries, k,
+      termDocIds(spark, indexDir, banned))
+
+  private type Dataset0 = org.apache.spark.sql.Dataset[ScoredDoc]
+
+  /** (query_id, doc_id) match set — every live doc containing ANY query
+    * term, from postings only. The per-bucket union walks each term's
+    * blocks once (docIds-only decode) into a bucket-local distinct set
+    * (bounded by the bucket's doc range — the mini-index invariant). This
+    * is the retrieval half of facets / sort-by-field, the same full-match
+    * traversal ES runs per shard for a terms aggregation.
+    */
+  def matchedDocs(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val qTerms: Seq[(String, Array[String])] =
+      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    if (allTerms.isEmpty)
+      return spark.emptyDataset[(String, Long)].toDF("query_id", "doc_id")
+    val qTermsB = spark.sparkContext.broadcast(qTerms)
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+
+    def bucketMatches(rows: Iterator[TermPostings], dead: Set[Long]): Iterator[(String, Long)] = {
+      val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+      if (byTerm.isEmpty) Iterator.empty
+      else qTermsB.value.iterator.flatMap { case (qid, terms) =>
+        val present = terms.filter(byTerm.contains)
+        if (present.isEmpty) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[Long]()
+          present.iterator.flatMap { t =>
+            byTerm(t).blocks.iterator.flatMap(b => Blocks.decodeDocIds(b).iterator)
+              .filter(d => !dead.contains(d) && seen.add(d))
+              .map(d => (qid, d))
+          }
+        }
+      }
+    }
+
+    val grouped = postings.groupByKey(_.bucket)
+    val matched = QueryEngine.deadDocs(spark, indexDir, None) match {
+      case None => grouped.flatMapGroups((_, rows) => bucketMatches(rows, Set.empty[Long]))
+      case Some(ex) =>
+        grouped.cogroup(ex)((_, rows, exRows) => bucketMatches(rows, exRows.map(_._2).toSet))
+    }
+    matched.toDF("query_id", "doc_id")
+  }
+
+  /** constant_score served from the index: scoring is skipped entirely —
+    * per bucket, a k-way ascending merge over the query terms' block
+    * streams yields the k smallest live matching docIds (early exit after k:
+    * later blocks are never decoded), then a k·buckets window finishes the
+    * global doc_id-ordered page.
+    */
+  def constantScoreTopK(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], boost: Double = 1.0, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qTerms: Seq[(String, Array[String])] =
+      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    if (allTerms.isEmpty)
+      return spark.emptyDataset[(String, Long)].toDF("query_id", "doc_id")
+        .withColumn("rank", lit(1)).withColumn("score", lit(boost))
+        .limit(0).select("query_id", "rank", "doc_id", "score")
+    val qTermsB = spark.sparkContext.broadcast(qTerms)
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+
+    def bucketFirstK(rows: Iterator[TermPostings], dead: Set[Long]): Iterator[(String, Long)] = {
+      val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+      if (byTerm.isEmpty) Iterator.empty
+      else qTermsB.value.iterator.flatMap { case (qid, terms) =>
+        val present = terms.filter(byTerm.contains)
+        if (present.isEmpty) Iterator.empty
+        else {
+          // lazy block-at-a-time streams; ordering by head docId
+          val streams: Array[BufferedIterator[Long]] = present.map { t =>
+            byTerm(t).blocks.iterator.flatMap(b => Blocks.decodeDocIds(b).iterator).buffered
+          }.toArray
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          var last = Long.MinValue
+          while (out.length < k && streams.exists(_.hasNext)) {
+            var mi = -1
+            var mv = Long.MaxValue
+            var i = 0
+            while (i < streams.length) {
+              if (streams(i).hasNext && streams(i).head < mv) { mv = streams(i).head; mi = i }
+              i += 1
+            }
+            streams(mi).next()
+            if (mv != last && !dead.contains(mv)) { out += ((qid, mv)); last = mv }
+            else last = mv
+          }
+          out.iterator
+        }
+      }
+    }
+
+    val grouped = postings.groupByKey(_.bucket)
+    val perBucket = QueryEngine.deadDocs(spark, indexDir, None) match {
+      case None => grouped.flatMapGroups((_, rows) => bucketFirstK(rows, Set.empty[Long]))
+      case Some(ex) =>
+        grouped.cogroup(ex)((_, rows, exRows) => bucketFirstK(rows, exRows.map(_._2).toSet))
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("doc_id").asc)
+    perBucket.toDF("query_id", "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), lit(boost).as("score"))
+  }
+
+  /** Facet (terms-aggregation) counts served from the index: the match set
+    * comes from postings (`matchedDocs`), the facet values from the doc
+    * metadata table — the doc-values read ES does for its own aggregations.
+    * `docsMeta` must carry (doc_id, facet); the join key is uniform doc_id.
+    */
+  def facetCounts(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, facet: String): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(facet)), Seq("doc_id"))
+      .groupBy(col("query_id"), col(facet))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Sort-by-field retrieval served from the index (ES `sort` without
+    * scoring): match set from postings, sort key from doc metadata,
+    * per-query window top-k.
+    */
+  def sortByField(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col(field).desc, col("doc_id").asc)
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col(field))
+  }
+
+  /** search_after page 2 served from the index: WAND at depth 2k, keep
+    * ranks k+1..2k. The cursor predicate ((score, doc_id) strictly after
+    * rank k under the total order) selects exactly the global ranks > k, so
+    * deep-paging via the index IS the cursor semantics — ES runs the same
+    * shard-level top-(from+size) for both.
+    */
+  def searchAfterPage(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], k: Int = 10): DataFrame =
+    QueryEngine.topK(spark, indexDir, queries, 2 * k).toDF()
+      .filter(col("rank") > k)
+      .select(col("queryId").as("query_id"), (col("rank") - k).cast("int").as("page_rank"),
+        col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+
+  /** more_like_this served from the index: seed term vectors are analyzed
+    * from the seed docs ONLY (O(seeds) — the ES `like` analysis step), df
+    * and corpus stats come from the term dictionary, and the derived
+    * queries run through WAND at depth k+1 with the seed dropped (a seed
+    * can occupy at most one rank of its own ranking, so k+1 is exact).
+    * No corpus tokenize anywhere.
+    */
+  def moreLikeThis(spark: SparkSession, indexDir: String,
+      seedDocs: DataFrame, nTerms: Int = 3, k: Int = 10): DataFrame = {
+    val seeds: Array[(Long, String)] = seedDocs
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stats = QueryEngine.loadStats(spark, indexDir)
+    val seedTfs: Array[(Long, Array[(String, Int)])] =
+      seeds.map { case (id, text) => id -> TextPrep.termFreqs(text) }
+    val allTerms = seedTfs.flatMap(_._2.map(_._1)).distinct.toSeq
+    val dict = QueryEngine.loadTermStats(spark, indexDir, allTerms)
+    // top-nTerms per seed by tf·idf with the oracle's total tie-break
+    // (tfidf desc, term asc); tf·idf = tf * ln(N/df), both doubles built
+    // from the same operands the SQL twin uses
+    val queries = seedTfs.map { case (id, tfs) =>
+      val top = tfs.filter(t => dict.contains(t._1))
+        .map { case (t, tf) => (t, tf.toDouble * math.log(stats.n.toDouble / dict(t).df.toDouble)) }
+        .sortBy { case (t, s) => (-s, t) }
+        .take(nTerms).map(_._1)
+      id.toString -> top.mkString(" ")
+    }.toSeq
+    val seedOf = queries.map { case (qid, _) => qid -> qid.toLong }.toMap
+    val w = Window.partitionBy(col("seed_id")).orderBy(col("old_rank").asc)
+    QueryEngine.topK(spark, indexDir, queries, k + 1).toDF()
+      .select(col("queryId").cast("long").as("seed_id"), col("rank").as("old_rank"),
+        col("docId").as("doc_id"), col("score"))
+      .filter(col("doc_id") =!= col("seed_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("seed_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Prefix query served from the index: term expansion AND doc counting
+    * read postings only — the `StartsWith` predicate prunes the term-sorted
+    * parquet scan via min/max stats, matched rows decode docIds-only.
+    * (ES rewrites prefix queries against its term dictionary identically.)
+    */
+  def prefixMatch(spark: SparkSession, indexDir: String,
+      prefixes: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val pB = spark.sparkContext.broadcast(prefixes)
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(prefixes.map(p => col("term").startsWith(p._2)).reduce(_ || _))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap { tp =>
+        pB.value.iterator.filter { case (_, p) => tp.term.startsWith(p) }.flatMap {
+          case (pid, p) =>
+            tp.blocks.iterator.flatMap(b => Blocks.decodeDocIds(b).iterator)
+              .map(d => (pid, p, tp.term, d))
+        }
+      }
+      .toDF("prefix_id", "prefix", "term", "doc_id")
+      .groupBy("prefix_id", "prefix")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Fuzzy term expansion served from the term dictionary (the rewrite
+    * stage of an ES `fuzzy` query): the dictionary table — (term, df),
+    * segments summed on read — replaces any corpus derivation; probes are
+    * broadcast so the edit-distance comparison is one dictionary scan.
+    */
+  def fuzzyExpand(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String)], maxDist: Int = 1): DataFrame = {
+    import spark.implicits._
+    val dict = spark.read.parquet(s"$indexDir/terms")
+      .groupBy("term").agg(sum("df").as("df"))
+    val f = probes.toDF("query_id", "qterm")
+    dict.join(broadcast(f), levenshtein(col("qterm"), col("term")) <= maxDist)
+      .select(col("query_id"), col("qterm"), col("term"),
+        levenshtein(col("qterm"), col("term")).cast("bigint").as("dist"), col("df"))
+  }
+}

@@ -47,10 +47,12 @@ object QueryEngine {
       .as[TermStats].collect().map(t => t.term -> t).toMap
   }
 
-  /** Tombstoned docIds (streaming replaces awaiting compaction). Collected
-    * to the driver for the cursor-level filter — bounded by compaction
-    * cadence; the relational read paths use a broadcast anti-join instead
-    * (StreamIngest.dropTombstones).
+  /** Tombstoned docIds (streaming replaces awaiting compaction). SERVING
+    * path only (IndexReader pins them per bucket at construction, bounded by
+    * compaction cadence). The distributed query paths never collect
+    * tombstones: they ride the same bucket-local exclusion cogroup as
+    * filter-context exclusions (see `deadDocs`) — no O(tombstones) driver
+    * state even with compaction deferred after a large delete-by-query.
     */
   def loadTombstones(spark: SparkSession, indexDir: String): Set[Long] = {
     import spark.implicits._
@@ -58,6 +60,40 @@ object QueryEngine {
     if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
       spark.read.parquet(s"$indexDir/tombstones").select("docId").as[Long].collect().toSet
     else Set.empty
+  }
+
+  private def tombstonesDF(spark: SparkSession, indexDir: String): Option[org.apache.spark.sql.DataFrame] = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
+      Some(spark.read.parquet(s"$indexDir/tombstones").select(col("docId").cast("long").as("docId")))
+    else None
+  }
+
+  /** The union of filter-context exclusions and tombstones as ONE
+    * bucket-grouped Dataset — every index query path's dead-doc container.
+    * Each docId's bucket is recovered from the docs table (uniform join
+    * keys, one shuffle), so a bucket task receives only its own dead ids:
+    * nothing is collected to the driver at any exclusion/tombstone
+    * cardinality. Returns None when there is nothing to exclude (the
+    * cogroup is skipped entirely).
+    */
+  private[query] def deadDocs(spark: SparkSession, indexDir: String,
+      excluded: Option[org.apache.spark.sql.DataFrame])
+      : Option[org.apache.spark.sql.KeyValueGroupedDataset[Int, (Int, Long)]] = {
+    import spark.implicits._
+    val tomb = tombstonesDF(spark, indexDir)
+    val both = (excluded.map(_.select(col("docId").cast("long").as("docId"))), tomb) match {
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
+    }
+    both.map { ex =>
+      val docsT = spark.read.parquet(s"$indexDir/docs")
+        .select(col("docId").cast("long").as("docId"), col("bucket").cast("int").as("bucket"))
+      ex.join(docsT, Seq("docId"))
+        .select(col("bucket"), col("docId"))
+        .as[(Int, Long)]
+        .groupByKey(_._1)
+    }
   }
 
   /** Top-k for a batch of queries. Returns (queryId, rank, docId, score). */
@@ -86,8 +122,33 @@ object QueryEngine {
       excluded: org.apache.spark.sql.DataFrame): Dataset[ScoredDoc] =
     topKImpl(spark, indexDir, queries, k, Some(excluded))
 
+  /** Query-time per-term boosting served from the index (ES `match` boost):
+    * each term's contribution AND all its WAND upper bounds are scaled by
+    * its boost — admissibility is preserved because boosts are fixed
+    * positive factors, and the `(idf*partial)*boost` association matches
+    * the relational oracle bit-for-bit.
+    */
+  def topKBoosted(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
+      boosts: Map[String, Double]): Dataset[ScoredDoc] =
+    topKImpl(spark, indexDir, queries, k, None, boosts = boosts)
+
+  /** minimum_should_match served from the index: WAND candidates are offered
+    * only when ≥ min(m, query arity) distinct query terms coincide at the
+    * pivot. Pruning stays exact — the constraint only removes candidates, so
+    * every admissible upper bound still bounds every qualified doc's score.
+    */
+  def topKShould(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
+      m: Int): Dataset[ScoredDoc] = {
+    val minMatch = queries.map { case (qid, text) =>
+      qid -> math.min(m, TextPrep.tokenize(text).distinct.length)
+    }.toMap
+    topKImpl(spark, indexDir, queries, k, None, minMatch = minMatch)
+  }
+
   private def topKImpl(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
-      excluded: Option[org.apache.spark.sql.DataFrame]): Dataset[ScoredDoc] = {
+      excluded: Option[org.apache.spark.sql.DataFrame],
+      boosts: Map[String, Double] = Map.empty,
+      minMatch: Map[String, Int] = Map.empty): Dataset[ScoredDoc] = {
     import spark.implicits._
     val qTerms: Seq[(String, Array[String])] =
       queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
@@ -98,12 +159,10 @@ object QueryEngine {
 
     val qTermsB = spark.sparkContext.broadcast(qTerms)
     val tstatsB = spark.sparkContext.broadcast(tstats)
+    val boostsB = spark.sparkContext.broadcast(boosts)
+    val minMatchB = spark.sparkContext.broadcast(minMatch)
     val n = stats.n
     val avgdl = stats.avgdl
-
-    // tombstoned docs (streaming replaces awaiting compaction) never
-    // surface — a small driver set bounded by compaction cadence
-    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir))
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(allTerms: _*))
@@ -119,31 +178,21 @@ object QueryEngine {
         qTermsB.value.iterator.flatMap { case (qid, terms) =>
           val present = terms.filter(byTerm.contains)
           if (present.isEmpty) Iterator.empty
-          else wandBucket(qid, present, byTerm, ts, n, avgdl, k, dead).iterator
+          else wandBucket(qid, present, byTerm, ts, n, avgdl, k, dead,
+            boostsB.value, minMatchB.value.getOrElse(qid, 1)).iterator
         }
       }
     }
 
     val grouped = postings.groupByKey(_.bucket)
-    val perBucket = excluded match {
+    val perBucket = deadDocs(spark, indexDir, excluded) match {
       case None =>
-        grouped.flatMapGroups((_, rows) => bucketWand(rows, tombB.value))
+        grouped.flatMapGroups((_, rows) => bucketWand(rows, Set.empty[Long]))
       case Some(ex) =>
-        // recover each exclusion's bucket from the docs table (uniform docId
-        // join keys), then cogroup by bucket: exclusions stream into exactly
-        // the bucket task that owns their docId range
-        val docsT = spark.read.parquet(s"$indexDir/docs")
-          .select(col("docId").cast("long").as("docId"), col("bucket").cast("int").as("bucket"))
-        val exBucketed = ex.select(col("docId").cast("long").as("docId"))
-          .join(docsT, Seq("docId"))
-          .select(col("bucket"), col("docId"))
-          .as[(Int, Long)]
-          .groupByKey(_._1)
-        grouped.cogroup(exBucketed) { (_, rows, exRows) =>
-          val tomb = tombB.value
-          val dead = if (exRows.isEmpty && tomb.isEmpty) Set.empty[Long]
-            else exRows.map(_._2).toSet ++ tomb
-          bucketWand(rows, dead)
+        // exclusions + tombstones stream into exactly the bucket task that
+        // owns their docId range — never the driver
+        grouped.cogroup(ex) { (_, rows, exRows) =>
+          bucketWand(rows, exRows.map(_._2).toSet)
         }
     }
 
@@ -180,7 +229,6 @@ object QueryEngine {
     val tstatsB = spark.sparkContext.broadcast(tstats)
     val n = stats.n
     val avgdl = stats.avgdl
-    val tombB = spark.sparkContext.broadcast(loadTombstones(spark, indexDir))
 
     val postings = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(liveTerms: _*))
@@ -188,18 +236,23 @@ object QueryEngine {
         col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .as[TermPostings]
 
-    val perBucket = postings
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, rows) =>
-        val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
-        val ts = tstatsB.value
-        qTermsB.value.iterator.flatMap { case (qid, terms) =>
-          // buckets are docId-disjoint: a doc can only match where ALL its
-          // query terms have postings in this bucket
-          if (!terms.forall(byTerm.contains)) Iterator.empty
-          else conjunctiveBucket(qid, terms, byTerm, ts, n, avgdl, k, tombB.value).iterator
-        }
+    def bucketAnd(rows: Iterator[TermPostings], dead: Set[Long]): Iterator[ScoredDoc] = {
+      val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+      val ts = tstatsB.value
+      qTermsB.value.iterator.flatMap { case (qid, terms) =>
+        // buckets are docId-disjoint: a doc can only match where ALL its
+        // query terms have postings in this bucket
+        if (!terms.forall(byTerm.contains)) Iterator.empty
+        else conjunctiveBucket(qid, terms, byTerm, ts, n, avgdl, k, dead).iterator
       }
+    }
+
+    val grouped = postings.groupByKey(_.bucket)
+    val perBucket = deadDocs(spark, indexDir, None) match {
+      case None => grouped.flatMapGroups((_, rows) => bucketAnd(rows, Set.empty[Long]))
+      case Some(ex) =>
+        grouped.cogroup(ex)((_, rows, exRows) => bucketAnd(rows, exRows.map(_._2).toSet))
+    }
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("queryId")).orderBy(col("score").desc, col("docId").asc)
@@ -523,7 +576,9 @@ object QueryEngine {
       n: Long,
       avgdl: Double,
       k: Int,
-      tombstones: Set[Long] = Set.empty
+      tombstones: Set[Long] = Set.empty,
+      boosts: Map[String, Double] = Map.empty,
+      minMatch: Int = 1
   ): Seq[ScoredDoc] = {
     val ordered = terms.sorted
     val cursors: Array[TermCursor] = ordered.flatMap { t =>
@@ -532,12 +587,17 @@ object QueryEngine {
       }
     }.toArray
     if (cursors.isEmpty) return Nil
+    // per-cursor boost (fixed positive factor): scales every contribution
+    // AND every upper bound identically, so block-max pruning stays exact;
+    // association is (idf * partial) * boost — lockstep with the oracle
+    val boost: Array[Double] = cursors.map(c => boosts.getOrElse(c.term, 1.0))
     // term-level upper bound from the bucket-local (maxTf, minDl) under the
     // live avgdl (tight + valid within this bucket, for any stats snapshot)
-    val termUb: Array[Double] = cursors.map { c =>
+    val termUb: Array[Double] = cursors.indices.map { ci =>
+      val c = cursors(ci)
       val tp = byTerm(c.term)
-      c.idf * Bm25.partial(tp.maxTf, tp.minDl, avgdl)
-    }
+      (c.idf * Bm25.partial(tp.maxTf, tp.minDl, avgdl)) * boost(ci)
+    }.toArray
 
     // heap of current top-k; head = weakest (lowest score, then largest docId)
     val weakestFirst: Ordering[(Double, Long)] =
@@ -574,20 +634,23 @@ object QueryEngine {
           var ci = 0
           while (ci < cursors.length) {
             val c = cursors(ci)
-            if (!c.exhausted && c.curDoc == pivotDoc) bmAcc += c.blockMaxScore
+            if (!c.exhausted && c.curDoc == pivotDoc) bmAcc += c.blockMaxScore * boost(ci)
             ci += 1
           }
           if (bmAcc > threshold) {
             // full evaluation, ascending term order = ascending cursor index
             var score = 0.0
+            var matched = 0
             var si = 0
             while (si < cursors.length) {
               val c = cursors(si)
-              if (!c.exhausted && c.curDoc == pivotDoc)
-                score += c.idf * Bm25.partial(c.curTf, c.curDl, avgdl)
+              if (!c.exhausted && c.curDoc == pivotDoc) {
+                score += (c.idf * Bm25.partial(c.curTf, c.curDl, avgdl)) * boost(si)
+                matched += 1
+              }
               si += 1
             }
-            if (!tombstones.contains(pivotDoc)) offer(score, pivotDoc)
+            if (matched >= minMatch && !tombstones.contains(pivotDoc)) offer(score, pivotDoc)
             var ai = 0
             while (ai < cursors.length) {
               val c = cursors(ai)
