@@ -244,6 +244,12 @@ object SparkEntry {
       val emb = Similarity.embeddings(s, d)
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 3)).orderBy("query_id", "rank")
     }),
+    "q_sq8_ivf" -> ((s, d) => {
+      // SQ8 quantization composed with IVF bucketing — the serving path
+      // (memory AND compute scale); exact within the probed buckets
+      val emb = Similarity.embeddings(s, d)
+      Similarity.sq8IvfTopK(emb, emb.filter(col("vec_id") < 3)).orderBy("query_id", "rank")
+    }),
     "q_simhash_pairs" -> ((s, d) =>
       // radius 3 with 4 disjoint 16-bit bands: candidate recall is COMPLETE
       // by pigeonhole (bands = maxHamming + 1)
@@ -1078,6 +1084,33 @@ object SparkEntry {
         |FROM p GROUP BY kind ORDER BY kind""".stripMargin,
     "q_simhash_pairs" -> simhashSql,
     "q_ann_ivf" -> ivfSql,
+    // SQ8×IVF oracle: the IVF candidate set (refined centroids on RAW
+    // vectors) scored with the SQ8-decoded values — quantize for memory,
+    // bucket for compute, both halves reproduced exactly
+    "q_sq8_ivf" ->
+      s"""WITH $refinedCentsSql,
+        |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |mm AS (SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx FROM ev GROUP BY 1),
+        |dec AS (SELECT ev.vec_id, ev.i,
+        |  CASE WHEN mm.mx = mm.mn THEN mm.mn
+        |       ELSE mm.mn + floor((ev.embedding[ev.i]::DOUBLE - mm.mn) / (mm.mx - mm.mn) * 255.0 + 0.5) / 255.0 * (mm.mx - mm.mn) END AS v
+        |  FROM ev JOIN mm USING (i)),
+        |probed AS (SELECT vec_id AS query_id, cent_id FROM
+        |  (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cdist DESC, cent_id ASC) AS crank FROM cd WHERE vec_id < 3)
+        |  WHERE crank <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+        |         WHERE a.vec_id <> p.query_id),
+        |qd AS (SELECT vec_id AS query_id, i, v AS qv FROM dec WHERE vec_id < 3),
+        |pairs AS (SELECT c.query_id, c.vec_id,
+        |    sum(d.v * qd.qv ORDER BY d.i) AS dp,
+        |    sum(d.v * d.v ORDER BY d.i) AS na,
+        |    sum(qd.qv * qd.qv ORDER BY d.i) AS nq
+        |  FROM cand c JOIN dec d ON d.vec_id = c.vec_id
+        |  JOIN qd ON qd.query_id = c.query_id AND qd.i = d.i
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) + 0.0 AS cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank FROM pairs)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_ann_recall" -> recallSql,
 
     "q_embed_neardup" ->

@@ -267,6 +267,26 @@ object Similarity {
     * the byte codes and decode in-register.
     */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val dec = sq8Decoded(corpus)
+    val q = broadcast(dec.join(queries.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("dvec").as("qvec")))
+    val scored = dec.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw",
+        dot(col("dvec"), col("qvec")) / (norm(col("dvec")) * norm(col("qvec"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
+  }
+
+  /** The SQ8 decode as a reusable (vec_id, dvec) projection: per-dim affine
+    * 8-bit quantize-then-decode against corpus-wide extrema. The extrema
+    * collect is O(dims) (min/max are aggregation-order-exact); the decode is
+    * a narrow codegen'd column map.
+    */
+  private def sq8Decoded(corpus: DataFrame): DataFrame = {
     val mmRows = corpus
       .select(posexplode(col("embedding")))
       .groupBy(col("pos"))
@@ -282,11 +302,43 @@ object Similarity {
         when(hi === lo, lo).otherwise(
           lo + floor((x.cast("double") - lo) / (hi - lo) * lit(255.0) + lit(0.5)) / lit(255.0) * (hi - lo))
       })
-    val dec = corpus.select(col("vec_id"), decode(col("embedding")).as("dvec"))
-    val q = broadcast(dec.join(queries.select("vec_id"), Seq("vec_id"), "left_semi")
+    corpus.select(col("vec_id"), decode(col("embedding")).as("dvec"))
+  }
+
+  /** SQ8 × IVF — the true serving path: quantization solves MEMORY (4×
+    * smaller vectors), IVF bucketing solves COMPUTE (a query ranks only its
+    * probed buckets' candidates, never the corpus). Assignment/probing run
+    * on the raw vectors (the build-time step); ranking runs on the decoded
+    * SQ8 values, exact within the probed buckets — so the oracle is the IVF
+    * candidate set scored with the SQ8 decode, reproducible in SQL. At
+    * 100 TB the cross join of `sq8TopK` disappears: candidates come from a
+    * uniform cent_id join, scores from per-bucket-sized work.
+    */
+  def sq8IvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      centroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val refined = ivfCentroids(corpus, centroids)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cent_id", nearestCentroidCol(col("embedding"), refined))
+      .select(col("cent_id"), col("vec_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(refined.toDF("cent_id", "cvec"))
+    val probed = {
+      val scored = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .crossJoin(cents)
+        .withColumn("cdist", dot(col("qvec"), col("cvec")) /
+          (norm(col("qvec")) * norm(col("cvec"))))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= nprobe)
+        .select(col("cent_id"), col("query_id"))
+    }
+    val dec = sq8Decoded(corpus)
+    val qdec = broadcast(dec.join(queries.select("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("dvec").as("qvec")))
-    val scored = dec.crossJoin(q)
+    val scored = assigned.join(broadcast(probed), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
+      .join(dec, Seq("vec_id"))
+      .join(qdec, Seq("query_id"))
       .withColumn("cosine_raw",
         dot(col("dvec"), col("qvec")) / (norm(col("dvec")) * norm(col("qvec"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)

@@ -45,6 +45,21 @@ class OpsSpec extends SparkSpecBase {
     assert(rec.forall(r => r >= 0.5 && r <= 1.0), s"recall out of range: ${rec.toSeq}")
   }
 
+  test("SQ8xIVF recall floor vs the unbucketed SQ8 ranking") {
+    val q = emb.filter(col("vec_id") < 3)
+    val full = Similarity.sq8TopK(emb, q, k = 10).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.sq8IvfTopK(emb, q, k = 10).collect()
+    assert(bucketed.nonEmpty)
+    // per query: |IVF-probed SQ8 top-10 ∩ full-scan SQ8 top-10| / 10
+    val recalls = bucketed.groupBy(_.getLong(0)).map { case (_, rows) =>
+      rows.count(r => full.contains((r.getLong(0), r.getLong(2)))).toDouble / 10.0
+    }
+    // same probe geometry as ivfRecall (nprobe=4 of 16 cells): the SQ8
+    // composition must not lose locality relative to the raw-vector path
+    assert(recalls.forall(r => r >= 0.5 && r <= 1.0), s"SQ8xIVF recall: ${recalls.toSeq}")
+  }
+
   test("chunk dedup conserves chunks: kept == corpus-wide distinct, per-doc sums consistent") {
     val out = Dedup.chunkDedup(docs, w = 10).collect()
     val keptTotal = out.map(_.getLong(3)).sum // kept_chunks
