@@ -302,7 +302,13 @@ object SparkEntry {
       // S7 max-file-size guard audit (monstache.go:1405-1433): per kind,
       // kept vs dropped under the 300-byte cap
       Multimodal.oversizeReport(Multimodal.mixedPayload(s, d), maxBytes = 300)
-        .orderBy("kind"))
+        .orderBy("kind")),
+    "q_media_guard" -> ((s, d) =>
+      // S7 guard IN the ingest path, content-omit semantics: oversized
+      // payloads keep their row with NULL features and kind 'omitted'
+      // (monstache.go:1423-1427 indexes the doc without the file field)
+      Multimodal.guardedMeta(Multimodal.mixedPayload(s, d), maxBytes = 300)
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1082,6 +1088,21 @@ object SparkEntry {
         |  sum(CASE WHEN byte_len > 300 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
         |  max(CASE WHEN byte_len <= 300 THEN byte_len END)::BIGINT AS max_kept_bytes
         |FROM p GROUP BY kind ORDER BY kind""".stripMargin,
+    "q_media_guard" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (octet_length(encode('<html><body>' || text || '</body></html>')) +
+        |     CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 4 ELSE 0 END)::BIGINT AS byte_len,
+        |    CASE doc_id % 4 WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffe0'
+        |                    WHEN 2 THEN '52494646' ELSE '3c68746d' END AS magic,
+        |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                    WHEN 2 THEN 'riff' ELSE 'html' END AS kind
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN byte_len <= 300 THEN byte_len END AS byte_len,
+        |  CASE WHEN byte_len <= 300 THEN magic END AS magic,
+        |  CASE WHEN byte_len <= 300 THEN kind ELSE 'omitted' END AS kind
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_simhash_pairs" -> simhashSql,
     "q_ann_ivf" -> ivfSql,
     // SQ8×IVF oracle: the IVF candidate set (refined centroids on RAW

@@ -230,7 +230,8 @@ object Dedup {
     * scheme (Kiveris et al., SoCC'14) in practice while staying a drop-in
     * upgrade path if a corpus ever produces long chains.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 200): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 200,
+      strict: Boolean = true): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -253,18 +254,22 @@ object Dedup {
         curSum = nextSum
         iter += 1
       }
-      // A component with diameter > maxIters (a pathological long chain)
-      // must degrade, not crash the dedup job: the partial labels are still
-      // a consistent OVER-segmentation (every label is a reachable minimum,
-      // so no two different components ever merge — clusters are only split
-      // finer than the true components). The large-star/small-star scheme
-      // (Kiveris et al., SoCC'14; O(log n) rounds) is the upgrade path if a
-      // corpus ever hits this warning in practice.
-      if (!converged)
-        System.err.println(
-          s"[dedup] connectedComponents stopped after $maxIters rounds without a " +
-            "fixpoint; returning partial (over-segmented) labels. A diameter this " +
-            "large suggests switching to large-star/small-star.")
+      // A component with diameter > maxIters (a pathological long chain):
+      // strict mode (the default — every oracle-parity path) FAILS FAST so
+      // a silently over-segmented clustering can never diverge from the
+      // exact answer downstream; strict=false degrades to the partial
+      // labels, which are a consistent OVER-segmentation (every label is a
+      // reachable minimum, so components are only split finer, never
+      // merged). The large-star/small-star scheme (Kiveris et al.,
+      // SoCC'14; O(log n) rounds) is the upgrade path if a corpus ever
+      // hits this in practice.
+      if (!converged) {
+        val msg = s"[dedup] connectedComponents did not reach a fixpoint in " +
+          s"$maxIters rounds; labels would be over-segmented. A diameter this " +
+          "large suggests switching to large-star/small-star."
+        if (strict) throw new IllegalStateException(msg)
+        else System.err.println(msg + " Returning partial labels (strict=false).")
+      }
       labels.select(col("id").as("doc_id"), col("label").as("cluster"))
     } finally sym.unpersist()
   }

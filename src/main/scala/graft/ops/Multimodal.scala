@@ -74,15 +74,36 @@ object Multimodal {
       .toDF("doc_id", "frame", "frame_bytes", "frame_hex")
   }
 
-  /** S7 parity — oversized-blob guard: drop any payload over `maxBytes`
-    * BEFORE decode/feature work, the reference's `max-file-size` behavior
-    * (`/root/reference/monstache.go:1405-1433`, the size check at `:1425`).
-    * A narrow codegen'd length filter: at 100 TB this is the difference
-    * between skipping a 2 GB blob at the scan and OOMing a decode task on
-    * it.
+  /** S7 parity — oversized-blob guard, CONTENT-OMIT semantics: a payload
+    * over `maxBytes` is nulled but its row is KEPT, exactly the reference's
+    * `max-file-size` behavior (`/root/reference/monstache.go:1405-1433` —
+    * the size check at `:1425` skips only the file field; the document is
+    * still indexed). A narrow codegen'd length conditional applied BEFORE
+    * decode/feature work: at 100 TB this is the difference between skipping
+    * a 2 GB blob at the scan and OOMing a decode task on it.
     */
   def sizeGuard(pages: DataFrame, maxBytes: Long): DataFrame =
-    pages.filter(length(col("payload")) <= maxBytes)
+    pages.withColumn("payload",
+      when(length(col("payload")) <= maxBytes, col("payload")))
+
+  /** The guarded ingest path: `sizeGuard` feeding pure-column media
+    * metadata. Omitted payloads keep their doc row with NULL byte_len/magic
+    * and kind `omitted` — the observable trace of the guard, mirroring a
+    * reference document indexed without its attachment field.
+    */
+  def guardedMeta(pages: DataFrame, maxBytes: Long): DataFrame = {
+    val guarded = sizeGuard(pages, maxBytes)
+    val magicHex = lower(hex(substring(col("payload"), 1, 4)))
+    val kind = when(magicHex.startsWith("89504e47"), "png")
+      .when(magicHex.startsWith("ffd8ff"), "jpeg")
+      .when(magicHex.startsWith("52494646"), "riff")
+      .when(lower(substring(col("payload"), 1, 5).cast("string")) === "<html", "html")
+      .otherwise("unknown")
+    guarded.select(col("doc_id"),
+      length(col("payload")).cast("bigint").as("byte_len"),
+      when(col("payload").isNotNull, magicHex).as("magic"),
+      when(col("payload").isNotNull, kind).otherwise(lit("omitted")).as("kind"))
+  }
 
   /** Audit twin of `sizeGuard`: per media kind, how many payloads the guard
     * keeps vs drops and the largest kept size. Kind comes from the magic

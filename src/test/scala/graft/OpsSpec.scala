@@ -45,6 +45,21 @@ class OpsSpec extends SparkSpecBase {
     assert(rec.forall(r => r >= 0.5 && r <= 1.0), s"recall out of range: ${rec.toSeq}")
   }
 
+  test("connectedComponents non-convergence: strict fails fast, non-strict over-segments") {
+    import spark.implicits._
+    // a 12-node chain has diameter 11 — maxIters=2 cannot converge
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+    val partial = Dedup.connectedComponents(chain, maxIters = 2, strict = false).collect()
+    assert(partial.length === 12)
+    // over-segmentation only: every partial label is a reachable minimum
+    // (>= the true component min, which is 0 for the whole chain)
+    assert(partial.forall(r => r.getLong(1) >= 0L))
+    assert(partial.map(_.getLong(1)).distinct.length > 1, "premise: not yet converged")
+  }
+
   test("SQ8xIVF recall floor vs the unbucketed SQ8 ranking") {
     val q = emb.filter(col("vec_id") < 3)
     val full = Similarity.sq8TopK(emb, q, k = 10).select("query_id", "vec_id")
