@@ -56,6 +56,11 @@ object IndexBuilder {
       checkpointGroups: Int = 1,
       /** resume: skip buckets whose lineage rows exist for snapshotId */
       resume: Boolean = false,
+      /** also build the positional sidecar in the SAME tokenize pass
+        * (phrase-capable batch build; the ES `index_options: positions`
+        * analog) — positions ride the staged fat rows, no second text scan
+        */
+      positions: Boolean = false,
       /** test-only crash injection: throw after group g's lineage commit */
       failAfterGroup: Int = -1
   )
@@ -201,17 +206,28 @@ object IndexBuilder {
     // natural checkpoint between extraction and index construction.
     val stage = s"$indexDir/stage_tokenized"
     phase("stage-tokenize") {
-      assigned
+      val base = assigned
         .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
         .as[(Long, Int, String, Long, String)]
-        .map { case (docId, bucket, url, version, text) =>
-          val tfs = TextPrep.termFreqs(text)
-          var dl = 0
-          tfs.foreach(dl += _._2)
-          (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
-        }
-        .toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
-        .write.mode(SaveMode.Overwrite)
+      val staged =
+        if (cfg.positions)
+          // positions ride the same single tokenize pass as an extra
+          // per-term int-array column (term order identical to termFreqs)
+          base.map { case (docId, bucket, url, version, text) =>
+            val tps = TextPrep.termFreqsWithPositions(text)
+            var dl = 0
+            tps.foreach(dl += _._2)
+            (docId, bucket, url, version, dl, tps.map(_._1), tps.map(_._2),
+              tps.map(_._3.toSeq).toSeq)
+          }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs", "poss")
+        else
+          base.map { case (docId, bucket, url, version, text) =>
+            val tfs = TextPrep.termFreqs(text)
+            var dl = 0
+            tfs.foreach(dl += _._2)
+            (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
+          }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
+      staged.write.mode(SaveMode.Overwrite)
         .option("compression", cfg.parquetCodec)
         .parquet(stage)
     }
@@ -294,6 +310,25 @@ object IndexBuilder {
 
       if (cfg.failAfterGroup == g)
         throw new RuntimeException(s"injected crash after group $g (test hook)")
+    }
+
+    // ---- optional positions sidecar, from the SAME staged tokenized
+    // table (one text pass total): explode (term, positions) per doc,
+    // bucket-partitioned like the postings ----
+    if (cfg.positions) phase("positions") {
+      spark.read.parquet(stage)
+        .select(col("bucket"), col("docId"),
+          explode(arrays_zip(col("terms"), col("poss"))).as("tp"))
+        .select(col("bucket"), col("tp.terms").as("term"), col("docId"),
+          col("tp.poss").as("positions"))
+        .repartition(cfg.numBuckets, col("bucket"))
+        .sortWithinPartitions("bucket", "term", "docId")
+        .withColumn("pbucket", col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pbucket")
+        .option("compression", cfg.parquetCodec)
+        .parquet(s"$indexDir/positions")
     }
 
     // ---- phase 4: global term dictionary from the compact postings ----

@@ -154,4 +154,20 @@ object TextPrep {
   }
 
   def doclen(text: String): Int = tokenize(text).length
+
+  /** termFreqs + 0-based token positions per term, one tokenize pass — the
+    * fat-row payload of a positions-enabled build (`IndexBuilder.Config
+    * (positions = true)`). Term order is identical to `termFreqs`
+    * (first-occurrence order); positions are ascending by construction.
+    */
+  def termFreqsWithPositions(text: String): Array[(String, Int, Array[Int])] = {
+    val toks = tokenize(text)
+    val m    = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
+    var i    = 0
+    while (i < toks.length) {
+      m.getOrElseUpdate(toks(i), mutable.ArrayBuffer.empty[Int]) += i
+      i += 1
+    }
+    m.iterator.map { case (t, ps) => (t, ps.length, ps.toArray) }.toArray
+  }
 }

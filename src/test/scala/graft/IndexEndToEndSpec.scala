@@ -125,6 +125,33 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(QueryEngine.topK(spark, dir2, Seq("q" -> "gamma"), 20).collect().length === 10)
   }
 
+  test("Config(positions = true): one-pass build is phrase-capable") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("idx-onepass").toString
+    val r = IndexBuilder.build(spark, pages, dir,
+      IndexBuilder.Config(numBuckets = 8, positions = true))
+    assert(r.stats === result.stats, "positions flag must not perturb the core build")
+    assert(spark.read.parquet(s"$dir/positions").count() > 0)
+    // phrase from a real doc: first two tokens of the lowest-docId doc
+    val txt = spark.read.parquet(s"$dir/docs").orderBy("docId").limit(1)
+      .join(pages.toDF().select(col("url"), col("text")), Seq("url")).select("text")
+      .head().getString(0)
+    val ws = graft.textprep.TextPrep.tokenize(txt).take(2)
+    assume(ws.length == 2)
+    val phrase = Seq("p1" -> ws.mkString(" "))
+    val onePass = graft.index.Positions.phraseMatch(spark, dir, phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // twin: the standalone two-pass sidecar over the same assigned docs
+    val sidecarDir = Files.createTempDirectory("idx-sidecar").toString
+    val assigned = spark.read.parquet(s"$dir/docs")
+      .join(pages.toDF().select(col("url"), col("text")), Seq("url"))
+      .select(col("docId"), col("bucket"), col("text"))
+    graft.index.Positions.build(spark, assigned, sidecarDir, numBuckets = 8)
+    val twoPass = graft.index.Positions.phraseMatch(spark, sidecarDir, phrase)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(onePass.nonEmpty && onePass === twoPass)
+  }
+
   test("rebuild is deterministic: same docIds, same stats") {
     val tmp2 = Files.createTempDirectory("graftidx2").toString
     // different input partitioning must not change any output
