@@ -157,6 +157,13 @@ object Bench {
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        // cross-JVM shuffle levers (the two sub-2x phases at 4x2 are the
+        // scan and the shuffle WRITE): bigger file buffers halve the write
+        // syscall count; a larger in-flight window keeps the netty fetch
+        // pipeline full across 8 executor-side reducers
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.reducer.maxSizeInFlight", "96m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
@@ -192,12 +199,19 @@ object Bench {
     val thrExecHigh = execDocs.toDouble / execTimes(execLayouts.last).min
     val execFactor = execLayouts.last._1.toDouble / execLayouts.head._1
     val effExec = thrExecHigh / (execFactor * thrExecLow)
+    // per-rep arrays (docs/s per rep, run order): the spread IS the
+    // neighbor-load evidence — published in the artifact, not just prose
+    def repsJson(ts: Seq[Double]): String =
+      ts.map(t => f"${execDocs.toDouble / t}%.1f").mkString("[", ",", "]")
+    val execRepsLow = repsJson(execTimes(execLayouts.head))
+    val execRepsHigh = repsJson(execTimes(execLayouts.last))
+    def execBlockJson: String =
+      f""""executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"protocol":"interleaved_min_of_$execReps","reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh}"""
 
     if (execOnly) {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(ShmBase)).deleteRecursively()
-      println(
-        f"""{"metric":"exec_only","executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f}}""")
+      println(s"""{"metric":"exec_only",$execBlockJson}""")
       return
     }
 
@@ -211,80 +225,71 @@ object Bench {
     val effLowMid = thrMid / ((cpusMid.toDouble / cpusLow) * thrLow)
     val effMidHigh = thrHigh / ((cpusHigh.toDouble / cpusMid) * thrMid)
 
-    // ---- query latency: WAND over a bench index at full parallelism ----
-    val s = session(cpusHigh)
-    import s.implicits._
-    val pages = s.read.parquet(staging).as[graft.model.PageDoc]
-    val idxDir = shmDir("idx-q")
-    IndexBuilder.build(s, pages, idxDir, IndexBuilder.Config(numBuckets = benchBuckets))
-    val benchQueries = Seq(
-      "b1" -> "the", "b2" -> "data spark", "b3" -> "index merge stream",
-      "b4" -> "the of and to in", "b5" -> "cache disk exec plan")
-    // serving shape: warm IndexReader (postings pinned in block cache);
-    // per-query latency measured one query at a time
-    val reader = new QueryEngine.IndexReader(s, idxDir)
-    reader.topK(benchQueries, 10).count() // warm-up distributed path
-    val latDist = (1 to 4).flatMap { _ =>
-      benchQueries.map { q =>
-        val (_, sec) = time(reader.topK(Seq(q), 10).count())
-        sec
-      }
-    }.sorted
-    val p95Dist = latDist((latDist.size * 95 / 100).min(latDist.size - 1))
-    // serving path: driver-side WAND over the warm term-row cache
-    reader.topKServe(benchQueries, 10) // warm term cache
-    val latServe = (1 to 10).flatMap { _ =>
-      benchQueries.map { q =>
-        val (_, sec) = time(reader.topKServe(Seq(q), 10))
-        sec
-      }
-    }.sorted
-    val p95 = latServe((latServe.size * 95 / 100).min(latServe.size - 1))
-
-    // ---- streaming append throughput onto the just-built 1M-doc index:
-    // K micro-batches of fresh urls; per-batch cost must be O(batch)
-    // (urlmap-pruned recrawl lookup, term segments, incremental stats) ----
-    val appendBatches = 4
-    val appendPerBatch = 50000L
-    graft.streaming.StreamIngest.bootstrapSideTables(s, idxDir)
-    val (_, appendSec) = time {
-      (0 until appendBatches).foreach { b =>
-        val lo = benchDocs + b * appendPerBatch
-        val batch = Corpus.syntheticRange(s, lo, lo + appendPerBatch, seed = 42L, parts = cpusHigh)
-        graft.streaming.StreamIngest.appendBatch(s, batch, idxDir,
-          bucketSize = 1 << 16, snapshotId = 100 + b)
-      }
+    // ---- host-capability envelope (CPU-pinned, Spark-free): what ANY job
+    // can scale on this VM — published IN the artifact so the efficiency
+    // numbers carry their own bound (a real cluster's added executors bring
+    // their own memory controllers; the single shared controller here is
+    // the one resource local modes cannot replicate) ----
+    val probeLevels = Seq(cpusLow, cpusMid)
+    val probes = graft.tools.HostProbe.probe(probeLevels)
+    val (hpAluEff, hpDramEff) = {
+      val Seq((l1, a1, d1), (l2, a2, d2)) = probes
+      val kf = l2.toDouble / l1
+      (a2 / (kf * a1), d2 / (kf * d1))
     }
-    val thrAppend = (appendBatches * appendPerBatch).toDouble / appendSec
+    val hostProbeJson =
+      f""""host_probe":{"levels":[${probeLevels.mkString(",")}],"alu_gops":[${probes.map(p => f"${p._2}%.2f").mkString(",")}],"dram_gbs":[${probes.map(p => f"${p._3}%.1f").mkString(",")}],"alu_eff":$hpAluEff%.3f,"dram_eff":$hpDramEff%.3f,"note":"single-host envelope for the ${probeLevels.head}->${probeLevels.last} ratio; DRAM term drops on a real cluster (per-executor memory controllers)"}"""
 
-    // ---- headline SparkEntry queries on the harness sf dir ----
-    val headline = Seq("q_bm25_topk", "q_wand_topk", "q_bool_and", "q_phrase_match",
-      "q_term_df", "q_dedup_exact", "q_chunk_dedup", "q_minhash_lsh", "q_ann_cosine",
-      "q_relate_join", "q_version_dedup")
-    // min of two runs: the first touch of an index-backed query pays the
-    // one-time IndexCache build (index build cost is already the headline
-    // `value` metric) and single-shot timings swing with neighbor load —
-    // the min measures the query itself
-    val qTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val (_, sec1) = time(fn(s, sfDir).count())
-        val (_, sec2) = time(fn(s, sfDir).count())
-        name -> math.min(sec1, sec2)
-      }
-    }
-    s.stop()
+    // ---- query latency + streaming append + headline queries: a FRESH
+    // forked JVM (same isolation as the per-level build sessions) — round
+    // 3 measured these in the garbage-loaded bench driver JVM and recorded
+    // a phantom 3.5x serving regression ----
+    val fragment = forkServe(staging, sfDir, cpusHigh, benchBuckets)
+
     // free tmpfs
     import scala.reflect.io.Directory
     new Directory(new java.io.File(ShmBase)).deleteRecursively()
 
-    val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def threadReps(c: Int): String =
+      times(c).map(t => f"${benchDocs.toDouble / t}%.1f").mkString("[", ",", "]")
     // headline efficiency: the N→4N pair measured below the host's
     // kernel-contention knee (cpusLow→cpusMid); the full-pressure
     // cpusMid→cpusHigh pair is reported alongside (see BASELINE.md for the
     // vmstat evidence of why 32 runnable threads saturate this VM's kernel)
-    val execLowName = s"${execLayouts.head._1}x${execLayouts.head._2}"
-    val execHighName = s"${execLayouts.last._1}x${execLayouts.last._2}"
     println(
-      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"$execLowName","thr_low":$thrExecLow%.1f,"layout_high":"$execHighName","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f},"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f},"append_docs_per_sec":$thrAppend%.1f,"query_p95_sec":$p95%.3f,"query_p95_dist_sec":$p95Dist%.3f}""")
+      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec",$fragment,"sf":"$sfDir",$execBlockJson,"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f,"protocol":"interleaved_min_of_$reps","reps_docs_per_sec":{"$cpusLow":${threadReps(cpusLow)},"$cpusMid":${threadReps(cpusMid)},"$cpusHigh":${threadReps(cpusHigh)}}},$hostProbeJson}""")
+  }
+
+  /** JDK17 module opens for a child Spark driver JVM (mirrors build.sbt /
+    * spark-submit's JavaModuleOptions).
+    */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork `BenchServe` in a fresh JVM; returns its JSON fragment. */
+  private def forkServe(staging: String, sfDir: String, cpus: Int, buckets: Int): String = {
+    val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx8g", "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.BenchServe", staging, sfDir, cpus.toString, buckets.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val rc = p.waitFor()
+    val frag = out.collectFirst {
+      case l if l.startsWith("BENCHSERVE-FRAGMENT ") => l.stripPrefix("BENCHSERVE-FRAGMENT ")
+    }
+    frag.getOrElse(throw new IllegalStateException(
+      s"BenchServe child failed (rc=$rc): ${out.takeRight(5).mkString(" | ")}"))
   }
 }

@@ -64,16 +64,27 @@ object HostProbe {
     threads * 6.0 * n * 8 / sec / 1e9 // GB/s aggregate
   }
 
-  def main(args: Array[String]): Unit = {
-    val levels = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 8, 32))
+  /** (level, aluGopsAggregate, dramGBsAggregate) per level, CPU-pinned —
+    * the host envelope any single-host scaling ratio is bounded by. Called
+    * by Bench so the artifact itself carries the evidence.
+    */
+  def probe(levels: Seq[Int]): Seq[(Int, Double, Double)] = {
     val results = levels.map { lvl =>
       Affinity.pin(lvl)
       val a = alu(lvl)
       val d = dram(lvl)
-      println(f"HOSTPROBE level=$lvl%2d alu=$a%6.2f Gops/s dram=$d%6.1f GB/s")
       (lvl, a, d)
     }
     Affinity.unpin()
+    results
+  }
+
+  def main(args: Array[String]): Unit = {
+    val levels = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(2, 8, 32))
+    val results = probe(levels)
+    results.foreach { case (lvl, a, d) =>
+      println(f"HOSTPROBE level=$lvl%2d alu=$a%6.2f Gops/s dram=$d%6.1f GB/s")
+    }
     results.sliding(2).foreach {
       case Seq((l1, a1, d1), (l2, a2, d2)) =>
         val k = l2.toDouble / l1

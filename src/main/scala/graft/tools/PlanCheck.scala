@@ -117,6 +117,26 @@ object PlanCheck {
       wants = Seq("CoGroup"),
       rejects = Seq("CartesianProduct"))
 
+    // 9b. index-served DSL: the corpus (documents.parquet) must be GONE
+    // from the plans — prefix reads StartsWith-pruned postings, fuzzy reads
+    // the terms dictionary, constant_score reads postings only
+    val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    check("prefix via index (no corpus scan)",
+      graft.query.IndexSearch.prefixMatch(spark, idx, graft.query.SearchOps.Prefixes)
+        .queryExecution.explainString(fmt),
+      wants = Seq("StringStartsWith(term"),
+      rejects = Seq("documents.parquet"))
+    check("fuzzy via terms dictionary (no corpus scan)",
+      graft.query.IndexSearch.fuzzyExpand(spark, idx, graft.query.SearchOps.Fuzzies)
+        .queryExecution.explainString(fmt),
+      wants = Seq("BroadcastNestedLoopJoin"),
+      rejects = Seq("documents.parquet", "SortMergeJoin", "CartesianProduct"))
+    check("constant_score via index (no corpus scan)",
+      graft.query.IndexSearch.constantScoreTopK(spark, idx, graft.RefQueries.set)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
