@@ -167,6 +167,58 @@ object SparkEntry {
       IndexSearch.fuzzyExpand(s, idx, SearchOps.Fuzzies).orderBy("query_id", "term")
     }),
 
+    "q_snippets_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.snippets(s, idx, RefQueries.set, TextOps.documents(s, d), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ES aggregation DSL (histogram / stats / cardinality /
+    // date_histogram) + multi-term rewrites (wildcard / regexp), each as a
+    // relational form and an index-served twin sharing one oracle ----
+    "q_histogram_agg" -> ((s, d) =>
+      SearchOps.histogramAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "bucket_lo")),
+    "q_histogram_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.histogramAgg(s, idx, RefQueries.set, TextOps.documents(s, d),
+        "n_chars", 200L).orderBy("query_id", "bucket_lo")
+    }),
+    "q_stats_agg" -> ((s, d) =>
+      SearchOps.statsAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_stats_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.statsAgg(s, idx, RefQueries.set, TextOps.documents(s, d), "n_chars")
+        .orderBy("query_id")
+    }),
+    "q_cardinality_agg" -> ((s, d) =>
+      SearchOps.cardinalityAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_cardinality_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.cardinalityAgg(s, idx, RefQueries.set, TextOps.documents(s, d), "source")
+        .orderBy("query_id")
+    }),
+    "q_date_histogram" -> ((s, d) =>
+      SearchOps.dateHistogram(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "day")),
+    "q_date_histogram_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.dateHistogram(s, idx, RefQueries.set, SearchOps.crawlDay)
+        .orderBy("query_id", "day")
+    }),
+    "q_wildcard_match" -> ((s, d) =>
+      SearchOps.wildcardMatch(TextOps.documents(s, d)).orderBy("pattern_id")),
+    "q_wildcard_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.wildcardMatch(s, idx, SearchOps.Wildcards).orderBy("pattern_id")
+    }),
+    "q_regexp_match" -> ((s, d) =>
+      SearchOps.regexpMatch(TextOps.documents(s, d)).orderBy("pattern_id")),
+    "q_regexp_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.regexpMatch(s, idx, SearchOps.Regexps).orderBy("pattern_id")
+    }),
+
     // ---- reference pipeline operators (monstache analogs) ----
     "q_version_dedup" -> ((s, d) => Relational.versionDedup(s, d).drop("ts")),
     "q_ns_filter" -> ((s, d) => Relational.namespaceFilter(s, d)),
@@ -498,6 +550,63 @@ object SparkEntry {
        |ORDER BY query_id, term""".stripMargin
   }
 
+  /** Shared match-set CTE prefix for the ES aggregation oracles: distinct
+    * (query_id, doc_id) containing ANY query term.
+    */
+  private def matchedCtes: String =
+    s"""$TOK,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok ON q.term = tok.term)""".stripMargin
+
+  private def histogramSql: String =
+    s"""WITH $matchedCtes
+       |SELECT m.query_id, CAST(floor(d.n_chars / 200.0) AS BIGINT) * 200 AS bucket_lo, count(*)::BIGINT AS n_docs
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def statsAggSql: String =
+    s"""WITH $matchedCtes
+       |SELECT m.query_id, count(*)::BIGINT AS n_docs, min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars,
+       |  sum(d.n_chars)::BIGINT AS sum_chars, round(avg(d.n_chars::DOUBLE) + 1e-9, 4) + 0.0 AS avg_chars
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def cardinalitySql: String =
+    s"""WITH $matchedCtes
+       |SELECT m.query_id, count(DISTINCT d.source)::BIGINT AS n_distinct
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Calendar-day derivation mirrors `SearchOps.crawlDay`: integer-only
+    * offset, then DATE + days (crosses the January/February boundary).
+    */
+  private def dateHistogramSql: String =
+    s"""WITH $matchedCtes
+       |SELECT m.query_id, strftime(DATE '2025-01-01' + CAST((m.doc_id * 786413 % 5184000) // 86400 AS INTEGER), '%Y-%m-%d') AS day, count(*)::BIGINT AS n_docs
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def wildcardSql: String = {
+    val vals = graft.query.SearchOps.Wildcards
+      .map { case (id, p) => s"('$id','$p')" }.mkString(", ")
+    s"""WITH $TOK,
+       |p(pattern_id, pattern) AS (VALUES $vals),
+       |pairs AS (SELECT DISTINCT doc_id, term FROM tok)
+       |SELECT p.pattern_id, p.pattern, count(DISTINCT pairs.term)::BIGINT AS n_terms, count(DISTINCT pairs.doc_id)::BIGINT AS n_docs
+       |FROM p JOIN pairs ON pairs.term LIKE p.pattern
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  private def regexpSql: String = {
+    val vals = graft.query.SearchOps.Regexps
+      .map { case (id, p) => s"('$id','$p')" }.mkString(", ")
+    s"""WITH $TOK,
+       |p(pattern_id, pattern) AS (VALUES $vals),
+       |pairs AS (SELECT DISTINCT doc_id, term FROM tok)
+       |SELECT p.pattern_id, p.pattern, count(DISTINCT pairs.term)::BIGINT AS n_terms, count(DISTINCT pairs.doc_id)::BIGINT AS n_docs
+       |FROM p JOIN pairs ON regexp_matches(pairs.term, p.pattern)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   /** Snippet oracle: BM25 top-3 per query, window of 8 tokens from
     * max(1, firstHit-3), firstHit = lowest 1-based position of any query
     * term in the doc's token array.
@@ -804,6 +913,19 @@ object SparkEntry {
     "q_mlt_index" -> mltSql,
     "q_prefix_index" -> prefixSql,
     "q_fuzzy_index" -> fuzzySql,
+    "q_snippets_index" -> snippetSql,
+    "q_histogram_agg" -> histogramSql,
+    "q_histogram_index" -> histogramSql,
+    "q_stats_agg" -> statsAggSql,
+    "q_stats_index" -> statsAggSql,
+    "q_cardinality_agg" -> cardinalitySql,
+    "q_cardinality_index" -> cardinalitySql,
+    "q_date_histogram" -> dateHistogramSql,
+    "q_date_histogram_index" -> dateHistogramSql,
+    "q_wildcard_match" -> wildcardSql,
+    "q_wildcard_index" -> wildcardSql,
+    "q_regexp_match" -> regexpSql,
+    "q_regexp_index" -> regexpSql,
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,

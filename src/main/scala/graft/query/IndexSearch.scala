@@ -244,6 +244,109 @@ object IndexSearch {
       .select(col("seed_id"), col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Highlight snippets served from the index (ES `highlight`): ranking is
+    * WAND over postings (never the corpus), then the FETCH phase joins the
+    * stored text of the k·queries hits only — the same two-phase
+    * query-then-fetch ES executes. Must equal the relational twin
+    * row-for-row (rank identity is the q_wand_topk ≡ q_bm25_topk
+    * invariant; the window derivation is shared code).
+    */
+  def snippets(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsText: DataFrame, k: Int = 3, before: Int = 3, after: Int = 4): DataFrame = {
+    val top = QueryEngine.topK(spark, indexDir, queries, k).toDF()
+      .select(col("queryId").as("query_id"), col("rank"), col("docId").as("doc_id"))
+    SearchOps.snippetFrom(top, docsText, queries, before, after)
+  }
+
+  /** Histogram aggregation served from the index (ES `histogram`): match
+    * set from postings, the numeric field from doc metadata — the doc-values
+    * read ES does per shard. One uniform doc_id join + one aggregation.
+    */
+  def histogramAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String, interval: Long): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("bucket_lo",
+        (floor(col(field) / lit(interval.toDouble)) * interval).cast("bigint"))
+      .groupBy("query_id", "bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Stats aggregation served from the index (ES `stats`). */
+  def statsAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_chars"), max(col(field)).as("max_chars"),
+        sum(col(field)).as("sum_chars"),
+        (round(avg(col(field).cast("double")) + lit(1.0e-9), 4) + lit(0.0)).as("avg_chars"))
+
+  /** Cardinality aggregation served from the index (ES `cardinality`) —
+    * exact form; the 100 TB swap is `approx_count_distinct` (HLL++), ES's
+    * own estimator.
+    */
+  def cardinalityAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, facet: String): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(facet)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count_distinct(col(facet)).as("n_distinct"))
+
+  /** Date-histogram served from the index (ES `date_histogram`, calendar
+    * `day`): the day key is a narrow per-row derivation over the match set
+    * (`SearchOps.crawlDay` fixture; a PageDoc deployment passes
+    * `date_trunc('day', warc_ts)` from the docs sidecar).
+    */
+  def dateHistogram(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      day: org.apache.spark.sql.Column): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .withColumn("day", day)
+      .groupBy("query_id", "day")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Wildcard query served from the index (ES `wildcard` multi-term
+    * rewrite): pattern match against the postings term dictionary, docIds
+    * decoded only for matching terms. Leading-`%` patterns can't min/max
+    * prune the term-sorted scan — but the scan is the dictionary, not the
+    * corpus (ES pays the same full-dictionary walk for leading wildcards).
+    */
+  def wildcardMatch(spark: SparkSession, indexDir: String,
+      patterns: Seq[(String, String)]): DataFrame =
+    expandMatch(spark, indexDir, patterns, (term, pat) => term.like(pat))
+
+  /** Regexp query served from the index (ES `regexp`): RLIKE over the term
+    * dictionary, same shape as `wildcardMatch`.
+    */
+  def regexpMatch(spark: SparkSession, indexDir: String,
+      patterns: Seq[(String, String)]): DataFrame =
+    expandMatch(spark, indexDir, patterns, (term, pat) => term.rlike(pat))
+
+  /** Shared multi-term-rewrite aggregation: per pattern, n_terms expanded
+    * and n_docs matched, from postings only.
+    */
+  private def expandMatch(spark: SparkSession, indexDir: String,
+      patterns: Seq[(String, String)],
+      pred: (org.apache.spark.sql.Column, String) => org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val p = patterns.toDF("pattern_id", "pattern")
+    val cond = patterns.map { case (pid, pat) =>
+      col("pattern_id") === pid && pred(col("term"), pat)
+    }.reduce(_ || _)
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(patterns.map(pp => pred(col("term"), pp._2)).reduce(_ || _))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap(tp => tp.blocks.iterator.flatMap(b => Blocks.decodeDocIds(b).iterator)
+        .map(d => (tp.term, d)))
+      .toDF("term", "doc_id")
+      .join(broadcast(p), cond)
+      .groupBy("pattern_id", "pattern")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
   /** Prefix query served from the index: term expansion AND doc counting
     * read postings only — the `StartsWith` predicate prunes the term-sorted
     * parquet scan via min/max stats, matched rows decode docIds-only.

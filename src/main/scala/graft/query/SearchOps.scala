@@ -41,14 +41,24 @@ object SearchOps {
     * shuffle beyond the ranking itself.
     */
   def snippets(docs: DataFrame, queries: Seq[(String, String)], k: Int = 3,
+      before: Int = 3, after: Int = 4): DataFrame =
+    snippetFrom(Bm25Sql.topKDocs(docs, queries, k).select("query_id", "rank", "doc_id"),
+      docs, queries, before, after)
+
+  /** The highlight half of `snippets`, parameterized over WHERE the ranked
+    * hits came from (relational scorer or index WAND — the fetch phase is
+    * identical): join each hit's stored text, window around the first
+    * query-term occurrence. `top` is k·queries rows — broadcast side of the
+    * fetch join; the docs side is one narrow pass.
+    */
+  def snippetFrom(top: DataFrame, docs: DataFrame, queries: Seq[(String, String)],
       before: Int = 3, after: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val top = Bm25Sql.topKDocs(docs, queries, k).select("query_id", "rank", "doc_id")
     val qdf = queries
       .map { case (qid, text) => (qid, TextPrep.tokenize(text).distinct.sorted.toSeq) }
       .toDF("query_id", "qterms")
-    top
+    broadcast(top)
       .join(docs.select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks")), Seq("doc_id"))
       .join(broadcast(qdf), Seq("query_id"))
@@ -228,6 +238,140 @@ object SearchOps {
     matched.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), lit(boost).as("score"))
+  }
+
+  /** Distinct (query_id, doc_id) match set — docs containing ANY query
+    * term. The same retrieval half facet/sort/constant_score inline; the ES
+    * aggregation operators below all ride it. Uniform token keys, broadcast
+    * query table, no all-pairs.
+    */
+  private def matchedSet(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(q), Seq("term"))
+      .select("query_id", "doc_id").distinct()
+  }
+
+  /** Histogram aggregation (ES `histogram`): matched docs bucketed by
+    * fixed-width intervals of a numeric doc-values field. One uniform-key
+    * join + one aggregation; result cardinality = queries × buckets.
+    * Interval arithmetic is exact in double for any field < 2^53.
+    */
+  def histogramAgg(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars", interval: Long = 200L): DataFrame =
+    matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("bucket_lo",
+        (floor(col(field) / lit(interval.toDouble)) * interval).cast("bigint"))
+      .groupBy("query_id", "bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Stats aggregation (ES `stats`): count/min/max/sum/avg of a numeric
+    * field over each query's match set. Integer min/max/sum are exact; avg
+    * is the one double (sum/count of exact longs — order-independent).
+    */
+  def statsAgg(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame =
+    matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_chars"), max(col(field)).as("max_chars"),
+        sum(col(field)).as("sum_chars"),
+        (round(avg(col(field).cast("double")) + lit(1.0e-9), 4) + lit(0.0)).as("avg_chars"))
+
+  /** Cardinality aggregation (ES `cardinality`): distinct values of a
+    * doc-values field per query match set — exact here (the oracle-checkable
+    * form); at 100 TB swap the final `count_distinct` for
+    * `approx_count_distinct` (HLL++), the same estimator ES uses, with no
+    * other plan change.
+    */
+  def cardinalityAgg(docs: DataFrame, queries: Seq[(String, String)],
+      facet: String = "source"): DataFrame =
+    matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(facet)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count_distinct(col(facet)).as("n_distinct"))
+
+  /** Deterministic pseudo crawl-day for the harness `documents` table
+    * (which carries no timestamp column): doc_id spread over a 60-day
+    * window starting 2025-01-01 — crosses a month boundary so the calendar
+    * arithmetic is exercised. Integer-only derivation (`div`), then one
+    * `date_add`; a real PageDoc pipeline passes `date_trunc('day', warc_ts)`
+    * instead.
+    */
+  def crawlDay: Column =
+    date_format(
+      date_add(to_date(lit("2025-01-01")),
+        expr("CAST((doc_id * 786413 % 5184000) DIV 86400 AS INT)")),
+      "yyyy-MM-dd")
+
+  /** Date-histogram aggregation (ES `date_histogram`, calendar interval
+    * `day`): matched docs per calendar day. The day key is derived
+    * per-row (narrow); the only shuffle is the final aggregation.
+    */
+  def dateHistogram(docs: DataFrame, queries: Seq[(String, String)],
+      day: Column = crawlDay): DataFrame =
+    matchedSet(docs, queries)
+      .withColumn("day", day)
+      .groupBy("query_id", "day")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Fixed wildcard set (ES `wildcard`, `*` mapped to SQL `%`), pinned to
+    * the harness vocabulary: `s%` → 6 terms, `%er` → 3 (customer, filter,
+    * order), `%a%` → many, `%zz%` → none (empty expansion).
+    */
+  val Wildcards: Seq[(String, String)] = Seq(
+    "w1" -> "s%", "w2" -> "%er", "w3" -> "%a%", "w4" -> "%zz%")
+
+  /** Wildcard query (ES `wildcard`): per pattern, the dictionary terms it
+    * expands to and the distinct docs containing any of them — the ES
+    * multi-term rewrite. Patterns are a fixed driver-side list, so the
+    * expansion predicate is a literal OR chain over the (doc, term)
+    * distinct; LIKE `%`/`_` semantics are identical in Catalyst and the
+    * oracle dialect.
+    */
+  def wildcardMatch(docs: DataFrame, patterns: Seq[(String, String)] = Wildcards): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = patterns.toDF("pattern_id", "pattern")
+    val cond = patterns.map { case (pid, pat) =>
+      col("pattern_id") === pid && col("term").like(pat)
+    }.reduce(_ || _)
+    TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(p), cond)
+      .groupBy("pattern_id", "pattern")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Fixed regexp set (ES `regexp` — patterns are implicitly anchored in
+    * ES, so each carries explicit `^…$`): kept backslash-free and
+    * lookahead-free so Java regex and the oracle's RE2 agree by
+    * construction.
+    */
+  val Regexps: Seq[(String, String)] = Seq(
+    "r1" -> "^s.*k$", "r2" -> "^[a-z]{3}$", "r3" -> "^(scan|merge|nope)$", "r4" -> "^q.*z$")
+
+  /** Regexp query (ES `regexp`): same multi-term rewrite shape as
+    * `wildcardMatch` with RLIKE matching.
+    */
+  def regexpMatch(docs: DataFrame, patterns: Seq[(String, String)] = Regexps): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = patterns.toDF("pattern_id", "pattern")
+    val cond = patterns.map { case (pid, pat) =>
+      col("pattern_id") === pid && col("term").rlike(pat)
+    }.reduce(_ || _)
+    TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(p), cond)
+      .groupBy("pattern_id", "pattern")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"))
   }
 
   /** Fixed prefix set for the driver query (hits the harness vocabulary:
