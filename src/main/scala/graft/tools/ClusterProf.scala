@@ -69,6 +69,11 @@ object ClusterProf {
         // executor has registered
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        // keep identical to Bench.clusterSession so phase profiles explain
+        // the recorded executor block
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.reducer.maxSizeInFlight", "96m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
