@@ -2,7 +2,10 @@ package graft.tools
 
 import graft.corpus.Corpus
 import graft.index.IndexBuilder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
 
 /** Multi-process scaling profiler: the identical index build on Spark
   * `local-cluster` (real executor JVMs — standalone master/worker in the
@@ -37,6 +40,29 @@ object ClusterProf {
             "(export it before running if executor launch fails)")
       }
     }
+
+  /** Per-stage wall/task/shuffle profile: makespan (submission→completion),
+    * task-time sum/max (straggler visibility), and shuffle+input volumes.
+    * Identifies which stage of a multi-stage phase stops scaling.
+    */
+  final class StageProfiler extends SparkListener {
+    private val taskTimes = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      taskTimes.getOrElseUpdate(t.stageId, mutable.ArrayBuffer.empty) += t.taskInfo.duration
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      val si = sc.stageInfo
+      val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+      val tt = taskTimes.remove(si.stageId).getOrElse(mutable.ArrayBuffer.empty).sorted
+      val m = si.taskMetrics
+      if (wall >= 500) // skip trivial stages
+        System.err.println(
+          f"STAGE ${si.stageId}%3d ${si.name.takeWhile(_ != '(').trim}%-28s wall=${wall / 1e3}%7.2fs " +
+          f"tasks=${si.numTasks}%3d taskSum=${tt.sum / 1e3}%7.1fs taskMax=${tt.lastOption.getOrElse(0L) / 1e3}%6.2fs " +
+          f"in=${m.inputMetrics.bytesRead / 1e6}%7.1fMB sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%7.1fMB spill=${m.diskBytesSpilled / 1e6}%6.1fMB")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     ensureSparkScalaVersion()
@@ -94,10 +120,13 @@ object ClusterProf {
         Corpus.syntheticDistributed(s, math.min(nDocs, 100000L), seed = 42L, parts = execs * cores * 2),
         s"$base/warm$execs-$cores", IndexBuilder.Config(numBuckets = 64))
       System.err.println(s"=== PROFILE ${execs}x$cores (executors x cores) ===")
+      val prof = new StageProfiler
+      s.sparkContext.addSparkListener(prof)
       val t0 = System.nanoTime()
       IndexBuilder.build(s, pages, s"$base/idx$execs-$cores", IndexBuilder.Config(numBuckets = 64))
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"=== TOTAL ${execs}x$cores: $sec%.2f s (${nDocs / sec}%.0f docs/s) ===")
+      s.sparkContext.removeSparkListener(prof)
       s.stop()
     }
     import scala.reflect.io.Directory
