@@ -3,7 +3,7 @@ package graft.index
 import graft.codec.Blocks
 import graft.model._
 import graft.textprep.TextPrep
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -105,6 +105,40 @@ object IndexBuilder {
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(s"$indexDir/status")
   }
+
+  // ------------------------------------------------------- bucket shuffle
+
+  /** Bijective bucket→shuffle-key table. `repartition(K, col("bucket"))`
+    * hash-partitions the K distinct bucket values into K slots — a
+    * balls-in-bins layout where some tasks carry 3-4 buckets and ~1/e carry
+    * none, capping the CPU-bound inversion stage's packing at ~70%
+    * (measured at 4×2 executors); padding to 4K slots trades collisions for
+    * empty tasks that still pay scheduler + committer setup (measured:
+    * worse). Instead precompute, for each partition p, an int key whose
+    * Catalyst murmur3 (seed 42, the `HashPartitioning` hash) lands on p,
+    * and repartition on `keys[bucket]`: exactly one bucket per task, no
+    * collisions, no empty tasks. Rows and their sort order are unchanged —
+    * only the shuffle layout is. Keys exist for every p because
+    * murmur3-of-consecutive-ints covers residues fast (coupon collector,
+    * ~K·lnK trials); the search is driver-side and O(K).
+    */
+  private[graft] def bucketShuffleKeys(n: Int): Array[Int] = {
+    val keys = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var k = 0
+    var remaining = n
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; keys(p) = k; remaining -= 1 }
+      k += 1
+    }
+    keys
+  }
+
+  /** Column form of [[bucketShuffleKeys]]: the shuffle key for `bucket`. */
+  private[graft] def bucketShuffleKey(n: Int): Column =
+    element_at(lit(bucketShuffleKeys(n)), col("bucket") + 1)
 
   // ---------------------------------------------------------------- docId
 
@@ -229,6 +263,13 @@ object IndexBuilder {
           }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
       staged.write.mode(SaveMode.Overwrite)
         .option("compression", cfg.parquetCodec)
+        // small row groups: the staged table is written by few fat reduce
+        // tasks (one per id-range partition) but scanned by every downstream
+        // phase — default 128MB row groups make a "16MB" split setting
+        // meaningless (splits can't cross a row group), turning the postings
+        // map stage into a handful of stragglers. Measured: taskMax == stage
+        // wall at 4x2 executors before this.
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(stage)
     }
 
@@ -243,7 +284,7 @@ object IndexBuilder {
       spark.read.parquet(stage)
         .select(col("docId"), col("bucket"), col("url"), col("doclen"), col("version"))
         .withColumn("dbucket", col("bucket"))
-        .repartition(cfg.numBuckets, col("bucket"))
+        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .sortWithinPartitions("bucket", "docId")
         .observe(obs,
           sum(when(col("doclen") > 0, 1L).otherwise(0L)).as("n"),
@@ -284,9 +325,11 @@ object IndexBuilder {
       val fatRows = spark.read.parquet(stage)
         .select(col("bucket"), col("docId"), col("doclen"), col("terms"), col("tfs"))
         .filter(pmod(col("bucket"), lit(groups)) === g)
-        // explicit count (one partition per bucket): AQE byte-based
-        // coalescing would serialize the CPU-bound inversion stage
-        .repartition(cfg.numBuckets, col("bucket"))
+        // bijective key: one bucket per task (see bucketShuffleKeys — the
+        // plain bucket column collides birthday-style, padding the count
+        // pays empty-task setup). Explicit count also keeps AQE from
+        // byte-coalescing the shuffle and serializing this CPU-bound stage.
+        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .sortWithinPartitions("bucket", "docId")
         .as[(Int, Long, Int, Array[String], Array[Int])]
       phase(s"postings-group-$g") {
@@ -321,7 +364,7 @@ object IndexBuilder {
           explode(arrays_zip(col("terms"), col("poss"))).as("tp"))
         .select(col("bucket"), col("tp.terms").as("term"), col("docId"),
           col("tp.poss").as("positions"))
-        .repartition(cfg.numBuckets, col("bucket"))
+        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .sortWithinPartitions("bucket", "term", "docId")
         .withColumn("pbucket", col("bucket"))
         .write.mode(SaveMode.Overwrite)
