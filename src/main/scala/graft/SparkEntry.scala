@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** range-filter fixture bounds on `n_chars` (corpus spans ~[48, 553]). */
+  private val RangeLo = 150L
+  private val RangeHi = 400L
+
   /** Flagship: WAND BM25 top-k over the inverted index on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     wandTopK(spark, "/root/testdata/sf0.001")
@@ -217,6 +221,48 @@ object SparkEntry {
     "q_regexp_index" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
       IndexSearch.regexpMatch(s, idx, SearchOps.Regexps).orderBy("pattern_id")
+    }),
+
+    // ---- dis_max / range filter / percentiles / top_hits /
+    // match_phrase_prefix — relational + index-served twins sharing one
+    // oracle each ----
+    "q_dis_max" -> ((s, d) =>
+      SearchOps.disMaxTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_dis_max_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.disMaxTopK(s, idx, RefQueries.set).orderBy("query_id", "rank")
+    }),
+    "q_range_filter" -> ((s, d) =>
+      SearchOps.rangeTopK(TextOps.documents(s, d), RefQueries.set, "n_chars",
+        RangeLo, RangeHi).orderBy("query_id", "rank")),
+    "q_range_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.rangeTopK(s, idx, RefQueries.set, TextOps.documents(s, d),
+        "n_chars", RangeLo, RangeHi).orderBy("query_id", "rank")
+    }),
+    "q_percentiles_agg" -> ((s, d) =>
+      SearchOps.percentilesAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_percentiles_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.percentilesAgg(s, idx, RefQueries.set, TextOps.documents(s, d), "n_chars")
+        .orderBy("query_id")
+    }),
+    "q_top_hits" -> ((s, d) =>
+      SearchOps.topHitsAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "lang", "rank")),
+    "q_top_hits_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.topHits(s, idx, RefQueries.set, TextOps.documents(s, d), "lang")
+        .orderBy("query_id", "lang", "rank")
+    }),
+    "q_phrase_prefix" -> ((s, d) =>
+      SearchOps.phrasePrefixCounts(TextOps.documents(s, d))
+        .orderBy("phrase_id", "doc_id")),
+    "q_phrase_prefix_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.phrasePrefixMatch(s, pos, SearchOps.PhrasePrefixes)
+        .orderBy("phrase_id", "doc_id")
     }),
 
     // ---- reference pipeline operators (monstache analogs) ----
@@ -428,12 +474,71 @@ object SparkEntry {
        |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
        |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
        |       ORDER BY q.term ) AS score,
+       |    max( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE)))) ) AS mx,
        |    count(*)::BIGINT AS matched
        |  FROM q JOIN tf ON q.term = tf.term
        |  JOIN dft ON q.term = dft.term
        |  JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN stats
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** dis_max with tie_breaker 0.3: best single-term addend + 0.3 × the
+    * rest — `mx + 0.3*(score - mx)` over the scored CTE's exact operands
+    * (max is order-free and exact; the ordered sum is the shared fold).
+    */
+  private def disMaxSql: String =
+    s"""WITH $scoredCtes,
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY (mx + 0.3*(score - mx)) DESC, doc_id ASC)::INT AS rank, doc_id, round(mx + 0.3*(score - mx), 4) AS score FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** range filter context: ranking restricted to docs with n_chars in
+    * [RangeLo, RangeHi]; scoring stays corpus-wide (ES filter semantics).
+    */
+  private def rangeSql: String =
+    s"""WITH $scoredCtes,
+       |inr AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN documents dc ON s.doc_id = dc.doc_id WHERE dc.n_chars BETWEEN $RangeLo AND $RangeHi),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM inr)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** percentiles over each query's match set: DuckDB quantile_cont ≡ Spark
+    * exact `percentile` (same linear interpolation).
+    */
+  private def percentilesSql: String =
+    s"""WITH $scoredCtes,
+       |m AS (SELECT DISTINCT s.query_id, s.doc_id FROM scored s),
+       |j AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id)
+       |SELECT query_id, round(quantile_cont(n_chars, 0.25), 4) AS p25, round(quantile_cont(n_chars, 0.5), 4) AS p50, round(quantile_cont(n_chars, 0.75), 4) AS p75, round(quantile_cont(n_chars, 0.95), 4) AS p95 FROM j GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  /** top_hits: per (query, lang) bucket, the 2 best-scoring matched docs. */
+  private def topHitsSql: String =
+    s"""WITH $scoredCtes,
+       |j AS (SELECT s.query_id, d.lang, s.doc_id, s.score FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |ranked AS (SELECT query_id, lang, row_number() OVER (PARTITION BY query_id, lang ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM j)
+       |SELECT query_id, lang, rank, doc_id, score FROM ranked WHERE rank <= 2 ORDER BY query_id, lang, rank""".stripMargin
+
+  /** match_phrase_prefix: exact lead chain + LIKE-prefix final position,
+    * generated from the same probes the Spark twins tokenize.
+    */
+  private def phrasePrefixSql: String = {
+    val ctes = graft.query.SearchOps.PhrasePrefixes.map { case (pid, ptext) =>
+      val ws = graft.textprep.TextPrep.tokenize(ptext)
+      val n = ws.length
+      val lead = ws.dropRight(1)
+      val prefix = ws.last
+      val conds = (lead.zipWithIndex.map { case (w, j) =>
+        if (j == 0) s"toks[i] = '$w'" else s"toks[i+$j] = '$w'"
+      } :+ s"toks[i+${n - 1}] LIKE '$prefix%'").mkString(" AND ")
+      s"""m_$pid AS (SELECT '$pid' AS phrase_id, doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n)
+         |  WHERE $conds GROUP BY 1, 2)""".stripMargin
+    }
+    val union = graft.query.SearchOps.PhrasePrefixes.map { case (pid, _) => s"SELECT * FROM m_$pid" }
+      .mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY phrase_id, doc_id""".stripMargin
+  }
 
   /** Boosted twin of bm25Sql: per-term boost multiplies each addend before
     * the ordered summation (same association as the Spark column:
@@ -926,6 +1031,16 @@ object SparkEntry {
     "q_wildcard_index" -> wildcardSql,
     "q_regexp_match" -> regexpSql,
     "q_regexp_index" -> regexpSql,
+    "q_dis_max" -> disMaxSql,
+    "q_dis_max_index" -> disMaxSql,
+    "q_range_filter" -> rangeSql,
+    "q_range_index" -> rangeSql,
+    "q_percentiles_agg" -> percentilesSql,
+    "q_percentiles_index" -> percentilesSql,
+    "q_top_hits" -> topHitsSql,
+    "q_top_hits_index" -> topHitsSql,
+    "q_phrase_prefix" -> phrasePrefixSql,
+    "q_phrase_prefix_index" -> phrasePrefixSql,
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,

@@ -141,4 +141,104 @@ object Positions {
       }
       .toDF("phrase_id", "doc_id", "n_matches")
   }
+
+  /** Index-backed match_phrase_prefix: exact lead tokens followed by ANY
+    * dictionary term starting with the probe's final prefix — output
+    * contract identical to `SearchOps.phrasePrefixCounts` (the narrow
+    * relational twin / shared oracle).
+    *
+    * Shape: the positions scan prunes to the lead terms (IN) plus the
+    * prefix expansions (`StartsWith`, min/max-pruned on the term-sorted
+    * parquet) — the multi-term rewrite ES runs against its term dictionary.
+    * Per bucket, the expansions' position lists merge into ONE sorted
+    * continuation list per doc (the union is what the chain check probes,
+    * so expansion fan-out costs a merge, not a per-term re-scan).
+    */
+  def phrasePrefixMatch(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String)], tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val parsed: Seq[(String, Array[String], String)] = probes.map { case (pid, ptext) =>
+      val ws = TextPrep.tokenize(ptext)
+      require(ws.length >= 2, s"phrase_prefix probe needs >=1 lead token + prefix: $ptext")
+      (pid, ws.dropRight(1), ws.last)
+    }
+    val leadTerms = parsed.flatMap(_._2).distinct
+    val prefixes = parsed.map(_._3).distinct
+    val probesB = spark.sparkContext.broadcast(parsed)
+    val tombB = spark.sparkContext.broadcast(tombstones)
+
+    val pred = (if (leadTerms.nonEmpty) Seq(col("term").isin(leadTerms: _*)) else Nil) ++
+      prefixes.map(p => col("term").startsWith(p))
+    val rows = spark.read.parquet(s"$indexDir/positions")
+      .filter(pred.reduce(_ || _))
+      .select(col("bucket"), col("term"), col("docId"), col("positions"))
+      .as[(Int, String, Long, Array[Int])]
+
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val pos = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Array[Int]]]
+        it.foreach { case (_, term, docId, ps) =>
+          pos.getOrElseUpdate(term, scala.collection.mutable.HashMap.empty).put(docId, ps)
+        }
+        probesB.value.iterator.flatMap { case (pid, lead, prefix) =>
+          val leadMaps = lead.map(w => pos.getOrElse(w, null))
+          // continuation: per doc, the SORTED union of every expansion
+          // term's positions (sorted-merge of sorted lists)
+          val contOf = scala.collection.mutable.HashMap.empty[Long, Array[Int]]
+          pos.iterator.filter(_._1.startsWith(prefix)).foreach { case (_, docs) =>
+            docs.foreach { case (docId, ps) =>
+              contOf.get(docId) match {
+                case None => contOf.put(docId, ps)
+                case Some(old) =>
+                  val merged = new Array[Int](old.length + ps.length)
+                  var a = 0; var b = 0; var o = 0
+                  while (a < old.length && b < ps.length) {
+                    if (old(a) <= ps(b)) { merged(o) = old(a); a += 1 } else { merged(o) = ps(b); b += 1 }
+                    o += 1
+                  }
+                  while (a < old.length) { merged(o) = old(a); a += 1; o += 1 }
+                  while (b < ps.length) { merged(o) = ps(b); b += 1; o += 1 }
+                  contOf.put(docId, merged)
+              }
+            }
+          }
+          if (leadMaps.exists(_ == null) || contOf.isEmpty) Iterator.empty
+          else {
+            val tomb = tombB.value
+            leadMaps(0).iterator.filter(e => !tomb.contains(e._1)).flatMap { case (docId, p0) =>
+              val rest = new Array[Array[Int]](lead.length)
+              rest(0) = p0
+              var ok = true
+              var j = 1
+              while (ok && j < lead.length) {
+                leadMaps(j).get(docId) match {
+                  case Some(pj) => rest(j) = pj
+                  case None => ok = false
+                }
+                j += 1
+              }
+              val cont = if (ok) contOf.getOrElse(docId, null) else null
+              if (cont == null) Iterator.empty
+              else {
+                var cnt = 0L
+                var i = 0
+                while (i < p0.length) {
+                  val p = p0(i)
+                  var chain = true
+                  var k = 1
+                  while (chain && k < lead.length) {
+                    if (java.util.Arrays.binarySearch(rest(k), p + k) < 0) chain = false
+                    k += 1
+                  }
+                  if (chain && java.util.Arrays.binarySearch(cont, p + lead.length) >= 0) cnt += 1
+                  i += 1
+                }
+                if (cnt > 0) Iterator.single((pid, docId, cnt)) else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("phrase_id", "doc_id", "n_matches")
+  }
 }

@@ -84,6 +84,9 @@ object Bm25Sql {
           array_sort(collect_list(struct(col("term"), col("addend")))),
           lit(0.0),
           (acc, x) => acc + x.getField("addend")).as("score"),
+        // the largest single-term contribution — dis_max's pivot (max is
+        // order-free and exact in IEEE, so no ordered fold needed)
+        max(col("addend")).as("max_addend"),
         count(lit(1)).as("matched"))
   }
 }

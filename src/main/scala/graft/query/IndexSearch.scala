@@ -374,6 +374,159 @@ object IndexSearch {
         count_distinct(col("doc_id")).as("n_docs"))
   }
 
+  /** Exact BM25 contributions for EVERY matching (query, doc) pair, served
+    * from postings — the exhaustive-retrieval half of dis_max / top_hits /
+    * percentile aggregations, where the consumer needs all matched docs
+    * rather than a global top-k (the per-shard traversal ES runs when a
+    * query feeds an aggregation). Per bucket each query term's blocks
+    * decode once (docIds + tf + doclen); contributions accumulate per doc
+    * in ascending-term order, so the score is bit-identical to the oracle's
+    * `sum(addend ORDER BY term)` — the q_wand_topk ≡ q_bm25_topk invariant
+    * extended below the top-k horizon. Emits
+    * (query_id, doc_id, score, max_addend, matched).
+    */
+  def scoredMatches(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val qTerms: Seq[(String, Array[String])] =
+      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    val empty = spark.emptyDataset[(String, Long, Double, Double, Long)]
+      .toDF("query_id", "doc_id", "score", "max_addend", "matched")
+    if (allTerms.isEmpty) return empty
+    val stats = QueryEngine.loadStats(spark, indexDir)
+    val tstats = QueryEngine.loadTermStats(spark, indexDir, allTerms)
+    if (tstats.isEmpty) return empty
+    val qTermsB = spark.sparkContext.broadcast(qTerms)
+    val tstatsB = spark.sparkContext.broadcast(tstats)
+    val n = stats.n
+    val avgdl = stats.avgdl
+
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+
+    def bucketScore(rows: Iterator[TermPostings],
+        dead: Set[Long]): Iterator[(String, Long, Double, Double, Long)] = {
+      val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
+      if (byTerm.isEmpty) Iterator.empty
+      else {
+        val ts = tstatsB.value
+        qTermsB.value.iterator.flatMap { case (qid, terms) =>
+          val present = terms.filter(byTerm.contains) // ascending (pre-sorted)
+          if (present.isEmpty) Iterator.empty
+          else {
+            // doc -> (running ordered sum, max addend, matched terms)
+            val acc = new java.util.HashMap[Long, Array[Double]]()
+            present.foreach { t =>
+              val idf = Bm25.idf(n, ts(t).df)
+              byTerm(t).blocks.foreach { b =>
+                val ids = Blocks.decodeDocIds(b)
+                val tfs = Blocks.decodeTfs(b)
+                val dls = Blocks.decodeDoclens(b)
+                var i = 0
+                while (i < ids.length) {
+                  val d = ids(i)
+                  if (!dead.contains(d)) {
+                    val a = idf * Bm25.partial(tfs(i), dls(i), avgdl)
+                    var cell = acc.get(d)
+                    if (cell == null) { cell = Array(0.0, Double.NegativeInfinity, 0.0); acc.put(d, cell) }
+                    cell(0) += a
+                    if (a > cell(1)) cell(1) = a
+                    cell(2) += 1.0
+                  }
+                  i += 1
+                }
+              }
+            }
+            val it = acc.entrySet().iterator()
+            new Iterator[(String, Long, Double, Double, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long, Double, Double, Long) = {
+                val e = it.next()
+                val c = e.getValue
+                (qid, e.getKey, c(0), c(1), c(2).toLong)
+              }
+            }
+          }
+        }
+      }
+    }
+
+    val grouped = postings.groupByKey(_.bucket)
+    val scored = QueryEngine.deadDocs(spark, indexDir, None) match {
+      case None => grouped.flatMapGroups((_, rows) => bucketScore(rows, Set.empty[Long]))
+      case Some(ex) =>
+        grouped.cogroup(ex)((_, rows, exRows) => bucketScore(rows, exRows.map(_._2).toSet))
+    }
+    scored.toDF("query_id", "doc_id", "score", "max_addend", "matched")
+  }
+
+  /** dis_max served from the index (ES `dis_max` with `tie_breaker`): the
+    * best single-term contribution plus tb × the rest —
+    * `mx + tb*(sum - mx)`, the exact expression the oracle evaluates on the
+    * same operand doubles. Retrieval is [[scoredMatches]] (postings only);
+    * the final window ranks k·matches per query.
+    */
+  def disMaxTopK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      tieBreaker: Double = 0.3, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dscore").desc, col("doc_id").asc)
+    scoredMatches(spark, indexDir, queries)
+      .withColumn("dscore",
+        col("max_addend") + lit(tieBreaker) * (col("score") - col("max_addend")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("dscore"), 4).as("score"))
+  }
+
+  /** top_hits inside a terms aggregation, served from the index: per
+    * (query, facet bucket), the n best-scoring matched docs. ES collects
+    * exactly this per aggregation bucket; retrieval cost is the matched
+    * set (scoredMatches), not the corpus.
+    */
+  def topHits(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, facet: String, n: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("query_id"), col(facet))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scoredMatches(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(facet)), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col(facet), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** percentiles aggregation served from the index (ES `percentiles`,
+    * exact/`tdigest`-free form): match set from postings, the numeric field
+    * from doc metadata, linear-interpolated quantiles — the same R-7
+    * interpolation DuckDB's `quantile_cont` computes. The 100 TB swap is
+    * `percentile_approx` (ES itself estimates via t-digest).
+    */
+  def percentilesAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(
+        round(percentile(col(field), lit(0.25)), 4).as("p25"),
+        round(percentile(col(field), lit(0.5)), 4).as("p50"),
+        round(percentile(col(field), lit(0.75)), 4).as("p75"),
+        round(percentile(col(field), lit(0.95)), 4).as("p95"))
+
+  /** range filter context served from the index (ES `bool.filter.range`):
+    * the allowed set is the docs-sidecar rows inside the range, cogrouped
+    * bucket-locally into the WAND gate ([[QueryEngine.topKWithin]]).
+    */
+  def rangeTopK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String, lo: Long, hi: Long, k: Int = 10): DataFrame =
+    QueryEngine.topKWithin(spark, indexDir, queries, k,
+      docsMeta.filter(col(field).between(lo, hi)).select(col("doc_id").as("docId"))).toDF()
+      .select(col("queryId").as("query_id"), col("rank"),
+        col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+
   /** Fuzzy term expansion served from the term dictionary (the rewrite
     * stage of an ES `fuzzy` query): the dictionary table — (term, df),
     * segments summed on read — replaces any corpus derivation; probes are

@@ -96,6 +96,38 @@ object QueryEngine {
     }
   }
 
+  /** Like [[deadDocs]] with per-row polarity: `false` rows are dead
+    * (exclusions ∪ tombstones), `true` rows are the inclusion filter's
+    * allowed set. One union, one uniform-key join to recover buckets, one
+    * grouping — a bucket task sees only its own gate rows regardless of the
+    * filter's corpus-wide cardinality.
+    */
+  private[query] def gateDocs(spark: SparkSession, indexDir: String,
+      excluded: Option[org.apache.spark.sql.DataFrame],
+      included: Option[org.apache.spark.sql.DataFrame])
+      : Option[org.apache.spark.sql.KeyValueGroupedDataset[Int, (Int, Long, Boolean)]] = {
+    import spark.implicits._
+    val tomb = tombstonesDF(spark, indexDir)
+    val dead = (excluded.map(_.select(col("docId").cast("long").as("docId"))), tomb) match {
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
+    }
+    val polar = (dead.map(_.withColumn("allowed", lit(false))),
+        included.map(_.select(col("docId").cast("long").as("docId"))
+          .withColumn("allowed", lit(true)))) match {
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
+    }
+    polar.map { ex =>
+      val docsT = spark.read.parquet(s"$indexDir/docs")
+        .select(col("docId").cast("long").as("docId"), col("bucket").cast("int").as("bucket"))
+      ex.join(docsT, Seq("docId"))
+        .select(col("bucket"), col("docId"), col("allowed"))
+        .as[(Int, Long, Boolean)]
+        .groupByKey(_._1)
+    }
+  }
+
   /** Top-k for a batch of queries. Returns (queryId, rank, docId, score). */
   def topK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] =
     topKImpl(spark, indexDir, queries, k, None)
@@ -121,6 +153,20 @@ object QueryEngine {
   def topKWhere(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
       excluded: org.apache.spark.sql.DataFrame): Dataset[ScoredDoc] =
     topKImpl(spark, indexDir, queries, k, Some(excluded))
+
+  /** Inclusion-filter top-k (ES `range`/`terms` filter context served from
+    * the index): only docIds present in `allowed` may enter the heap. Same
+    * bucket-local cogroup as exclusions — each bucket receives exactly its
+    * own slice of the allowed set (bounded by the bucket's doc range, the
+    * per-segment doc-values iterator ES intersects with its scorer) — and
+    * pruning exactness is unchanged: an inclusion filter only removes
+    * candidates, so every admissible block upper bound still bounds every
+    * allowed doc's score. Tombstones keep riding the same gate with dead
+    * polarity; dead wins over allowed for a doc carrying both.
+    */
+  def topKWithin(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
+      allowed: org.apache.spark.sql.DataFrame): Dataset[ScoredDoc] =
+    topKImpl(spark, indexDir, queries, k, None, included = Some(allowed))
 
   /** Query-time per-term boosting served from the index (ES `match` boost):
     * each term's contribution AND all its WAND upper bounds are scaled by
@@ -148,7 +194,8 @@ object QueryEngine {
   private def topKImpl(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
       excluded: Option[org.apache.spark.sql.DataFrame],
       boosts: Map[String, Double] = Map.empty,
-      minMatch: Map[String, Int] = Map.empty): Dataset[ScoredDoc] = {
+      minMatch: Map[String, Int] = Map.empty,
+      included: Option[org.apache.spark.sql.DataFrame] = None): Dataset[ScoredDoc] = {
     import spark.implicits._
     val qTerms: Seq[(String, Array[String])] =
       queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
@@ -170,7 +217,8 @@ object QueryEngine {
         col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
       .as[TermPostings]
 
-    def bucketWand(rows: Iterator[TermPostings], dead: Set[Long]): Iterator[ScoredDoc] = {
+    def bucketWand(rows: Iterator[TermPostings], dead: Set[Long],
+        allowed: Set[Long]): Iterator[ScoredDoc] = {
       val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
       if (byTerm.isEmpty) Iterator.empty
       else {
@@ -179,20 +227,36 @@ object QueryEngine {
           val present = terms.filter(byTerm.contains)
           if (present.isEmpty) Iterator.empty
           else wandBucket(qid, present, byTerm, ts, n, avgdl, k, dead,
-            boostsB.value, minMatchB.value.getOrElse(qid, 1)).iterator
+            boostsB.value, minMatchB.value.getOrElse(qid, 1), allowed).iterator
         }
       }
     }
 
+    // whether an inclusion filter is active is a PLAN-level fact, not a
+    // per-bucket one: a bucket with zero gate rows under inclusion allows
+    // NOTHING (allowed = empty set), not everything (allowed = null)
+    val hasInclusion = included.isDefined
     val grouped = postings.groupByKey(_.bucket)
-    val perBucket = deadDocs(spark, indexDir, excluded) match {
+    val perBucket = gateDocs(spark, indexDir, excluded, included) match {
       case None =>
-        grouped.flatMapGroups((_, rows) => bucketWand(rows, Set.empty[Long]))
-      case Some(ex) =>
-        // exclusions + tombstones stream into exactly the bucket task that
-        // owns their docId range — never the driver
-        grouped.cogroup(ex) { (_, rows, exRows) =>
-          bucketWand(rows, exRows.map(_._2).toSet)
+        grouped.flatMapGroups((_, rows) => bucketWand(rows, Set.empty[Long], null))
+      case Some(gate) =>
+        // exclusions + tombstones + inclusions stream into exactly the
+        // bucket task that owns their docId range — never the driver
+        grouped.cogroup(gate) { (_, rows, gateRows) =>
+          val dead = Set.newBuilder[Long]
+          var allow: mutable.HashSet[Long] = null
+          gateRows.foreach { case (_, docId, isAllowed) =>
+            if (isAllowed) {
+              if (allow == null) allow = mutable.HashSet.empty[Long]
+              allow += docId
+            } else dead += docId
+          }
+          val allowSet: Set[Long] =
+            if (!hasInclusion) null
+            else if (allow == null) Set.empty[Long]
+            else allow.toSet
+          bucketWand(rows, dead.result(), allowSet)
         }
     }
 
@@ -578,7 +642,8 @@ object QueryEngine {
       k: Int,
       tombstones: Set[Long] = Set.empty,
       boosts: Map[String, Double] = Map.empty,
-      minMatch: Int = 1
+      minMatch: Int = 1,
+      allowed: Set[Long] = null
   ): Seq[ScoredDoc] = {
     val ordered = terms.sorted
     val cursors: Array[TermCursor] = ordered.flatMap { t =>
@@ -650,7 +715,8 @@ object QueryEngine {
               }
               si += 1
             }
-            if (matched >= minMatch && !tombstones.contains(pivotDoc)) offer(score, pivotDoc)
+            if (matched >= minMatch && !tombstones.contains(pivotDoc) &&
+              ((allowed eq null) || allowed.contains(pivotDoc))) offer(score, pivotDoc)
             var ai = 0
             while (ai < cursors.length) {
               val c = cursors(ai)

@@ -425,6 +425,73 @@ object SearchOps {
   /** Fixed phrase set for the driver query (chosen to hit the harness
     * corpus; counts verified nonzero at sf0.01).
     */
+  // ---- dis_max / range / percentiles / top_hits (relational twins of the
+  // IndexSearch paths; each pair shares one DuckDB oracle) ----
+
+  /** dis_max over the per-term BM25 contributions (ES `dis_max` with
+    * `tie_breaker`): score = best single-term addend + tb × the remainder.
+    * Shares `Bm25Sql.scoredDocs`'s ordered-fold sum and exact max, so the
+    * expression `mx + tb*(sum - mx)` runs on the identical doubles as the
+    * index twin and the SQL oracle.
+    */
+  def disMaxTopK(docs: DataFrame, queries: Seq[(String, String)],
+      tieBreaker: Double = 0.3, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dscore").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .withColumn("dscore",
+        col("max_addend") + lit(tieBreaker) * (col("score") - col("max_addend")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("dscore"), 4).as("score"))
+  }
+
+  /** Range filter context (ES `bool.filter.range`): BM25 ranking restricted
+    * to docs whose `field` lies in [lo, hi]. Corpus-wide idf/avgdl (filter
+    * context never changes scoring), same as the index twin.
+    */
+  def rangeTopK(docs: DataFrame, queries: Seq[(String, String)],
+      field: String, lo: Long, hi: Long, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .filter(col(field).between(lo, hi))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Exact percentiles of `field` over each query's match set (ES
+    * `percentiles`): linear interpolation, one row per query.
+    */
+  def percentilesAgg(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame =
+    Bm25Sql.scoredDocs(docs, queries)
+      .select("query_id", "doc_id").distinct()
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(
+        round(percentile(col(field), lit(0.25)), 4).as("p25"),
+        round(percentile(col(field), lit(0.5)), 4).as("p50"),
+        round(percentile(col(field), lit(0.75)), 4).as("p75"),
+        round(percentile(col(field), lit(0.95)), 4).as("p95"))
+
+  /** top_hits inside a terms aggregation (ES `top_hits`): per (query, facet
+    * bucket), the n best-scoring matched docs.
+    */
+  def topHitsAgg(docs: DataFrame, queries: Seq[(String, String)],
+      facet: String = "lang", n: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("query_id"), col(facet))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(docs.select(col("doc_id"), col(facet)), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col(facet), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   val Phrases: Seq[(String, String)] = Seq(
     "p1" -> "table hash",
     "p2" -> "slow hash batch",
@@ -453,6 +520,44 @@ object SearchOps {
       .select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
       .select(col("doc_id"), explode(array(perPhrase: _*)).as("m"))
+      .select(col("m.phrase_id").as("phrase_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** match_phrase_prefix probes: all-but-last tokens match exactly, the
+    * last is a prefix ("hash jo" ⇒ `hash` then any `jo…` term next).
+    */
+  val PhrasePrefixes: Seq[(String, String)] = Seq(
+    "x1" -> "hash jo",
+    "x2" -> "the s",
+    "x3" -> "spark quer",
+    "x4" -> "table zz")
+
+  /** match_phrase_prefix counts (ES `match_phrase_prefix`): per (probe,
+    * doc), start positions where the exact lead tokens chain and the final
+    * position starts with the prefix. Same narrow per-doc fold as
+    * [[phraseCounts]] — one map over the corpus scan at 100 TB; the index
+    * twin is `Positions.phrasePrefixMatch`.
+    */
+  def phrasePrefixCounts(docs: DataFrame,
+      probes: Seq[(String, String)] = PhrasePrefixes): DataFrame = {
+    val toks = col("toks")
+    val perProbe = probes.map { case (pid, ptext) =>
+      val ws = TextPrep.tokenize(ptext)
+      val n = ws.length
+      val lead = ws.dropRight(1)
+      val prefix = ws.last
+      val hits = size(filter(sequence(lit(0), size(toks) - n),
+        i => (lead.zipWithIndex.map { case (w, j) =>
+          element_at(toks, i + j + 1) === w
+        } :+ element_at(toks, i + n).startsWith(prefix)).reduce(_ && _)))
+      struct(lit(pid).as("phrase_id"),
+        when(size(toks) >= n, hits).otherwise(0).cast("bigint").as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(perProbe: _*)).as("m"))
       .select(col("m.phrase_id").as("phrase_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
       .filter(col("n_matches") > 0)
   }

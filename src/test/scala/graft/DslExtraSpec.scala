@@ -1,0 +1,115 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.index.IndexBuilder
+import graft.ops.TextOps
+import graft.query.{IndexSearch, QueryEngine, SearchOps}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** dis_max / range filter (inclusion gate) / percentiles / top_hits /
+  * match_phrase_prefix: each index-served path must equal its relational
+  * twin row-for-row (the q_filtered_index ≡ q_filtered_topk pattern), and
+  * the inclusion gate must stay bucket-local and exact.
+  */
+class DslExtraSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = TextOps.documents(spark, sf).cache()
+  private lazy val idx = IndexCache.forDocuments(spark, sf)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toSeq).toSeq
+
+  test("dis_max: index twin == relational; score between best-term and full sum") {
+    val rel = rows(SearchOps.disMaxTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.disMaxTopK(spark, idx, RefQueries.set).orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+  }
+
+  test("dis_max with tie_breaker 0 ranks by the single best term; 1 is the plain sum") {
+    import spark.implicits._
+    // tb=1: dscore == mx + (sum - mx) == sum exactly -> identical to BM25 ranking
+    val tb1 = rows(IndexSearch.disMaxTopK(spark, idx, RefQueries.set, tieBreaker = 1.0)
+      .orderBy("query_id", "rank"))
+    val bm = QueryEngine.topK(spark, idx, RefQueries.set, 10).toDF()
+      .select(col("queryId").as("query_id"), col("rank"), col("docId").as("doc_id"),
+        round(col("score"), 4).as("score")).orderBy("query_id", "rank")
+    assert(tb1 == rows(bm))
+    // tb=0: every score equals SOME single-term addend <= the tb=1 score
+    val tb0 = IndexSearch.disMaxTopK(spark, idx, RefQueries.set, tieBreaker = 0.0)
+      .select("query_id", "doc_id", "score").as[(String, Long, Double)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    val full = IndexSearch.scoredMatches(spark, idx, RefQueries.set)
+      .select("query_id", "doc_id", "score", "max_addend")
+      .as[(String, Long, Double, Double)].collect()
+      .map { case (q, d, s, mx) => (q, d) -> (s, mx) }.toMap
+    tb0.foreach { case ((q, d), sc) =>
+      val (s, mx) = full((q, d))
+      assert(math.abs(sc - math.floor(mx * 10000 + 0.5) / 10000) < 1e-9 && mx <= s + 1e-12)
+    }
+  }
+
+  test("range filter: index twin (inclusion gate) == relational; every hit in range") {
+    val rel = rows(SearchOps.rangeTopK(docs, RefQueries.set, "n_chars", 150L, 400L)
+      .orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.rangeTopK(spark, idx, RefQueries.set, docs, "n_chars", 150L, 400L)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    val inRange = docs.filter(col("n_chars").between(150, 400))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    srv.foreach(r => assert(inRange(r(2).asInstanceOf[Long])))
+  }
+
+  test("inclusion gate: allowed == all docs leaves topKWithin == topK; empty allows nothing") {
+    import spark.implicits._
+    val pages = Corpus.syntheticDS(spark, 600, seed = 17L, parts = 4)
+    val dir = Files.createTempDirectory("incl-idx").toString
+    IndexBuilder.build(spark, pages, dir, IndexBuilder.Config(numBuckets = 4))
+    val queries = Seq("i1" -> "the data", "i2" -> "spark")
+    val all = spark.read.parquet(s"$dir/docs").select(col("docId"))
+    val a = QueryEngine.topKWithin(spark, dir, queries, 10, all)
+      .collect().toSeq.sortBy(r => (r.queryId, r.rank))
+    val b = QueryEngine.topK(spark, dir, queries, 10)
+      .collect().toSeq.sortBy(r => (r.queryId, r.rank))
+    assert(a.nonEmpty && a === b)
+    val none = Seq.empty[Long].toDF("docId")
+    assert(QueryEngine.topKWithin(spark, dir, queries, 10, none).isEmpty)
+  }
+
+  test("percentiles: index twin == relational; monotone p25<=p50<=p75<=p95 within corpus bounds") {
+    val rel = rows(SearchOps.percentilesAgg(docs, RefQueries.set).orderBy("query_id"))
+    val srv = rows(IndexSearch.percentilesAgg(spark, idx, RefQueries.set, docs, "n_chars")
+      .orderBy("query_id"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.foreach { r =>
+      val ps = r.drop(1).map(_.asInstanceOf[Double])
+      assert(ps == ps.sorted && ps.head >= 48.0 && ps.last <= 553.0)
+    }
+  }
+
+  test("top_hits: index twin == relational; <=2 hits per (query, lang), scores descend") {
+    val rel = rows(SearchOps.topHitsAgg(docs, RefQueries.set).orderBy("query_id", "lang", "rank"))
+    val srv = rows(IndexSearch.topHits(spark, idx, RefQueries.set, docs, "lang")
+      .orderBy("query_id", "lang", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.groupBy(r => (r.head, r(1))).foreach { case (_, g) =>
+      assert(g.size <= 2)
+      val sc = g.sortBy(_(2).asInstanceOf[Int]).map(_(4).asInstanceOf[Double])
+      assert(sc == sc.sortBy(-_))
+    }
+  }
+
+  test("match_phrase_prefix: positional-index twin == narrow relational twin") {
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val rel = rows(SearchOps.phrasePrefixCounts(docs).orderBy("phrase_id", "doc_id"))
+    val srv = rows(graft.index.Positions.phrasePrefixMatch(spark, pos, SearchOps.PhrasePrefixes)
+      .orderBy("phrase_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    // the no-expansion probe (prefix matching no dictionary term) is absent
+    assert(!rel.exists(_.head == "x4"))
+    // multi-expansion probe x2 ("the s") must match strictly more docs than
+    // any single-term continuation could alone — the union is real
+    assert(rel.count(_.head == "x2") > rel.count(_.head == "x1"))
+  }
+}
