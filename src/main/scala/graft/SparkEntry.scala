@@ -264,6 +264,20 @@ object SparkEntry {
       graft.index.Positions.phrasePrefixMatch(s, pos, SearchOps.PhrasePrefixes)
         .orderBy("phrase_id", "doc_id")
     }),
+    "q_function_score" -> ((s, d) =>
+      SearchOps.functionScoreTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_function_score_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.functionScoreTopK(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "rank")
+    }),
+    "q_bool_full" -> ((s, d) =>
+      SearchOps.boolFullTopK(TextOps.documents(s, d)).orderBy("query_id", "rank")),
+    "q_bool_full_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.boolFullTopK(s, idx).orderBy("query_id", "rank")
+    }),
 
     // ---- reference pipeline operators (monstache analogs) ----
     "q_version_dedup" -> ((s, d) => Relational.versionDedup(s, d).drop("ts")),
@@ -538,6 +552,51 @@ object SparkEntry {
     s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
        |${ctes.mkString(",\n")}
        |$union ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
+  /** function_score (field_value_factor, modifier ln1p): BM25 × ln(1+field),
+    * identical expression and operand doubles on both sides.
+    */
+  private def functionScoreSql: String =
+    s"""WITH $scoredCtes,
+       |j AS (SELECT s.query_id, s.doc_id, s.score * ln(1 + d.n_chars) AS fscore FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id ASC)::INT AS rank, doc_id, round(fscore, 4) AS score FROM j)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Full bool query: must (all terms), should (adds score), must_not
+    * (bans) — each group's sum in ascending term order, must + should.
+    * Generated from `SearchOps.BoolQueries` with the shared tokenizer.
+    */
+  private def boolFullSql: String = {
+    def vals(sel: ((String, String, String, String)) => (String, String)): String =
+      graft.query.SearchOps.BoolQueries.map(sel).flatMap { case (qid, text) =>
+        graft.textprep.TextPrep.tokenize(text).distinct.map(t => s"('$qid','$t')")
+      }.mkString(", ")
+    def addend(dft: String): String =
+      s"""ln(1 + (stats.n - $dft.df + 0.5) / ($dft.df + 0.5))
+         |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))""".stripMargin
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |qm(query_id, term) AS (VALUES ${vals(q => (q._1, q._2))}),
+       |qs(query_id, term) AS (VALUES ${vals(q => (q._1, q._3))}),
+       |qb(query_id, term) AS (VALUES ${vals(q => (q._1, q._4))}),
+       |qmn AS (SELECT query_id, count(*)::BIGINT AS n_must FROM qm GROUP BY 1),
+       |dftm AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qm) GROUP BY 1),
+       |dfts AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qs) GROUP BY 1),
+       |sm AS (SELECT qm.query_id, tf.doc_id,
+       |  sum( ${addend("dftm")}
+       |       ORDER BY qm.term ) AS must_score, count(*)::BIGINT AS must_matched
+       |  FROM qm JOIN tf ON qm.term = tf.term JOIN dftm ON qm.term = dftm.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |ss AS (SELECT qs.query_id, tf.doc_id,
+       |  sum( ${addend("dfts")}
+       |       ORDER BY qs.term ) AS should_score
+       |  FROM qs JOIN tf ON qs.term = tf.term JOIN dfts ON qs.term = dfts.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |bd AS (SELECT DISTINCT qb.query_id, tf.doc_id FROM qb JOIN tf ON qb.term = tf.term),
+       |comb AS (SELECT m.query_id, m.doc_id, m.must_score + coalesce(s.should_score, 0.0) AS score
+       |  FROM sm m JOIN qmn ON m.query_id = qmn.query_id AND m.must_matched = qmn.n_must
+       |  LEFT JOIN ss s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM bd WHERE bd.query_id = m.query_id AND bd.doc_id = m.doc_id)),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM comb)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Boosted twin of bm25Sql: per-term boost multiplies each addend before
@@ -1041,6 +1100,10 @@ object SparkEntry {
     "q_top_hits_index" -> topHitsSql,
     "q_phrase_prefix" -> phrasePrefixSql,
     "q_phrase_prefix_index" -> phrasePrefixSql,
+    "q_function_score" -> functionScoreSql,
+    "q_function_score_index" -> functionScoreSql,
+    "q_bool_full" -> boolFullSql,
+    "q_bool_full_index" -> boolFullSql,
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,

@@ -50,6 +50,13 @@ object IndexBuilder {
       numBuckets: Int = 32,
       snapshotId: Long = 1L,
       parquetCodec: String = "zstd",
+      /** codec for the TRANSIENT staged table only (written once, scanned
+        * by the docs/postings/positions phases, then dead): lz4 trades
+        * ~1.4x size for a fraction of zstd's encode CPU — the staged write
+        * is the single largest stage of the build (ClusterProf stage 44),
+        * and the final index tables keep `parquetCodec`'s better ratio.
+        */
+      stagedCodec: String = "lz4",
       /** posting build is committed (data + lineage) in this many
         * independently-resumable groups of buckets
         */
@@ -262,7 +269,7 @@ object IndexBuilder {
             (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
           }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
       staged.write.mode(SaveMode.Overwrite)
-        .option("compression", cfg.parquetCodec)
+        .option("compression", cfg.stagedCodec)
         // small row groups: the staged table is written by few fat reduce
         // tasks (one per id-range partition) but scanned by every downstream
         // phase — default 128MB row groups make a "16MB" split setting

@@ -527,6 +527,65 @@ object IndexSearch {
       .select(col("queryId").as("query_id"), col("rank"),
         col("docId").as("doc_id"), round(col("score"), 4).as("score"))
 
+  /** function_score / field_value_factor served from the index: retrieval
+    * and BM25 from postings ([[scoredMatches]]), the multiplier from the
+    * doc-values table, fscore = score × ln(1 + field) — the identical
+    * expression (and doubles) as the relational twin.
+    */
+  def functionScoreTopK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String = "n_chars", k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("fscore").desc, col("doc_id").asc)
+    scoredMatches(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("fscore", col("score") * log(lit(1.0) + col(field)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("fscore"), 4).as("score"))
+  }
+
+  /** The full ES `bool` query served from the index: must/should groups are
+    * two [[scoredMatches]] passes (each a term-pruned postings scan),
+    * must_not is the banned terms' match set ([[matchedDocs]]) anti-joined
+    * — every leg reads postings only, joined on uniform (query, doc) keys.
+    * Score association matches the oracle: each group's ascending-term sum,
+    * then must + should.
+    */
+  def boolFullTopK(spark: SparkSession, indexDir: String,
+      boolQs: Seq[(String, String, String, String)] = SearchOps.BoolQueries,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val mustQs = boolQs.map(q => (q._1, q._2))
+    val shouldQs = boolQs.filter(q => TextPrep.tokenize(q._3).nonEmpty).map(q => (q._1, q._3))
+    val notQs = boolQs.filter(q => TextPrep.tokenize(q._4).nonEmpty).map(q => (q._1, q._4))
+    val arity = boolQs.map { case (qid, m, _, _) =>
+      (qid, TextPrep.tokenize(m).distinct.length.toLong)
+    }.toDF("query_id", "n_must")
+
+    val m = scoredMatches(spark, indexDir, mustQs)
+      .select(col("query_id"), col("doc_id"), col("score").as("must_score"),
+        col("matched").as("must_matched"))
+    val sScores =
+      if (shouldQs.isEmpty)
+        spark.emptyDataset[(String, Long, Double)].toDF("query_id", "doc_id", "should_score")
+      else scoredMatches(spark, indexDir, shouldQs)
+        .select(col("query_id"), col("doc_id"), col("score").as("should_score"))
+    val banned =
+      if (notQs.isEmpty) spark.emptyDataset[(String, Long)].toDF("query_id", "doc_id")
+      else matchedDocs(spark, indexDir, notQs)
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    m.join(broadcast(arity), Seq("query_id"))
+      .filter(col("must_matched") === col("n_must"))
+      .join(sScores, Seq("query_id", "doc_id"), "left")
+      .join(banned, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("score", col("must_score") + coalesce(col("should_score"), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Fuzzy term expansion served from the term dictionary (the rewrite
     * stage of an ES `fuzzy` query): the dictionary table — (term, df),
     * segments summed on read — replaces any corpus derivation; probes are

@@ -492,6 +492,73 @@ object SearchOps {
         round(col("score"), 4).as("score"))
   }
 
+  /** function_score / field_value_factor (modifier ln1p, factor 1):
+    * fscore = BM25 × ln(1 + field). Reranking only — retrieval is the
+    * plain disjunctive match set; the multiplier is a doc-values read.
+    */
+  def functionScoreTopK(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars", k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("fscore").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("fscore", col("score") * log(lit(1.0) + col(field)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("fscore"), 4).as("score"))
+  }
+
+  /** Composite bool fixtures: (id, must, should, must_not). b5 pins the
+    * absent-must-term case (zero results).
+    */
+  val BoolQueries: Seq[(String, String, String, String)] = Seq(
+    ("b1", "spark", "query fast", "slow"),
+    ("b2", "hash join", "merge sort", "customer"),
+    ("b3", "vector scan", "", "missingzzz"),
+    ("b4", "the", "data big", ""),
+    ("b5", "spark missingzzz", "query", ""))
+
+  /** The full ES `bool` query in one plan: a doc must contain EVERY must
+    * term, none of the must_not terms; its score is the must-group BM25
+    * sum plus the matched should terms' sum (each group's sum in ascending
+    * term order, groups added must-then-should — the oracle's exact
+    * association).
+    */
+  def boolFullTopK(docs: DataFrame, boolQs: Seq[(String, String, String, String)] = BoolQueries,
+      k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def termTable(sel: ((String, String, String, String)) => (String, String)) =
+      boolQs.map(sel).flatMap { case (qid, text) =>
+        TextPrep.tokenize(text).distinct.map(t => (qid, t))
+      }.toDF("query_id", "term")
+    val mTab = termTable(q => (q._1, q._2))
+    val sTab = termTable(q => (q._1, q._3))
+    val bTab = termTable(q => (q._1, q._4))
+    val arity = boolQs.map { case (qid, m, _, _) =>
+      (qid, TextPrep.tokenize(m).distinct.length.toLong)
+    }.toDF("query_id", "n_must")
+
+    val m = Bm25Sql.scoredFromTermTable(docs, mTab, "query_id")
+      .select(col("query_id"), col("doc_id"), col("score").as("must_score"),
+        col("matched").as("must_matched"))
+    val sScores = Bm25Sql.scoredFromTermTable(docs, sTab, "query_id")
+      .select(col("query_id"), col("doc_id"), col("score").as("should_score"))
+    val banned = graft.ops.TextOps.tokens(docs).join(bTab, Seq("term"))
+      .select("query_id", "doc_id").distinct()
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    m.join(broadcast(arity), Seq("query_id"))
+      .filter(col("must_matched") === col("n_must"))
+      .join(sScores, Seq("query_id", "doc_id"), "left")
+      .join(banned, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("score", col("must_score") + coalesce(col("should_score"), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   val Phrases: Seq[(String, String)] = Seq(
     "p1" -> "table hash",
     "p2" -> "slow hash batch",

@@ -100,6 +100,27 @@ class DslExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("function_score: index twin == relational; reranks vs plain BM25") {
+    val rel = rows(SearchOps.functionScoreTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.functionScoreTopK(spark, idx, RefQueries.set, docs)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+  }
+
+  test("bool full: index twin == relational; must_not enforced, absent must term empties") {
+    import spark.implicits._
+    val rel = rows(SearchOps.boolFullTopK(docs).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.boolFullTopK(spark, idx).orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    // b5's must contains a term absent from the corpus -> no hits
+    assert(!rel.exists(_.head == "b5"))
+    // b1 bans "slow": no returned doc may contain it
+    val slowDocs = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(col("t").rlike("(^|[^a-z0-9])slow([^a-z0-9]|$)"))
+      .select("doc_id").as[Long].collect().toSet
+    rel.filter(_.head == "b1").foreach(r => assert(!slowDocs(r(2).asInstanceOf[Long])))
+  }
+
   test("match_phrase_prefix: positional-index twin == narrow relational twin") {
     val pos = IndexCache.positionsForDocuments(spark, sf)
     val rel = rows(SearchOps.phrasePrefixCounts(docs).orderBy("phrase_id", "doc_id"))
