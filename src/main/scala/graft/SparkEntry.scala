@@ -278,6 +278,21 @@ object SparkEntry {
       val idx = IndexCache.forDocuments(s, d)
       IndexSearch.boolFullTopK(s, idx).orderBy("query_id", "rank")
     }),
+    "q_sig_terms" -> ((s, d) =>
+      SearchOps.significantTerms(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_sig_terms_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.significantTerms(s, idx, RefQueries.set).orderBy("query_id", "rank")
+    }),
+    "q_collapse" -> ((s, d) =>
+      SearchOps.collapseTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_collapse_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.collapseTopK(s, idx, RefQueries.set, TextOps.documents(s, d), "source")
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- reference pipeline operators (monstache analogs) ----
     "q_version_dedup" -> ((s, d) => Relational.versionDedup(s, d).drop("ts")),
@@ -598,6 +613,35 @@ object SparkEntry {
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM comb)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** significant_terms (JLH): overrepresentation of match-set terms vs the
+    * corpus background; rates as plain double divisions, identical
+    * expression on both sides; positive lift only.
+    */
+  private def sigTermsSql: String =
+    s"""WITH $TOK, $TF,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON q.term = tf.term),
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |fgn AS (SELECT query_id, count(*)::BIGINT AS fg_n FROM m GROUP BY 1),
+       |bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY 1),
+       |bgn AS (SELECT count(DISTINCT doc_id)::BIGINT AS bg_n FROM dt),
+       |fg AS (SELECT m.query_id, dt.term, count(*)::BIGINT AS fg_df FROM m JOIN dt ON m.doc_id = dt.doc_id GROUP BY 1, 2),
+       |j AS (SELECT fg.query_id, fg.term, fg.fg_df, bg.bg_df,
+       |  (fg.fg_df::DOUBLE / fgn.fg_n - bg.bg_df::DOUBLE / bgn.bg_n) * ((fg.fg_df::DOUBLE / fgn.fg_n) / (bg.bg_df::DOUBLE / bgn.bg_n)) AS jlh
+       |  FROM fg JOIN fgn ON fg.query_id = fgn.query_id JOIN bg ON fg.term = bg.term CROSS JOIN bgn),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY jlh DESC, term ASC)::INT AS rank, term, fg_df, bg_df, round(jlh, 4) AS jlh FROM j WHERE jlh > 0)
+       |SELECT query_id, rank, term, fg_df, bg_df, jlh FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Field collapsing: best doc per (query, source), then global top-10 of
+    * the representatives.
+    */
+  private def collapseSql: String =
+    s"""WITH $scoredCtes,
+       |j AS (SELECT s.query_id, s.doc_id, s.score, d.source FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |g AS (SELECT *, row_number() OVER (PARTITION BY query_id, source ORDER BY score DESC, doc_id ASC) AS grank FROM j),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, source, round(score, 4) AS score FROM g WHERE grank = 1)
+       |SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Boosted twin of bm25Sql: per-term boost multiplies each addend before
     * the ordered summation (same association as the Spark column:
@@ -1104,6 +1148,10 @@ object SparkEntry {
     "q_function_score_index" -> functionScoreSql,
     "q_bool_full" -> boolFullSql,
     "q_bool_full_index" -> boolFullSql,
+    "q_sig_terms" -> sigTermsSql,
+    "q_sig_terms_index" -> sigTermsSql,
+    "q_collapse" -> collapseSql,
+    "q_collapse_index" -> collapseSql,
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,

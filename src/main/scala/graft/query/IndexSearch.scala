@@ -586,6 +586,55 @@ object IndexSearch {
         round(col("score"), 4).as("score"))
   }
 
+  /** significant_terms served from the index (ES JLH): the foreground
+    * doc→term incidence comes from a full postings decode joined to the
+    * match set (the per-shard all-terms traversal ES itself runs for this
+    * aggregation — there is no cheaper exact form), the background df from
+    * the term dictionary, corpus N from the stats table. The JLH ranking
+    * tail is shared code with the relational twin, so the doubles match.
+    * Background counts reflect the index's live stats; a deferred-compaction
+    * index would shade bg_df high until compaction (same as ES before
+    * merge).
+    */
+  def significantTerms(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val m = matchedDocs(spark, indexDir, queries)
+    val fgN = m.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
+    val termDoc = spark.read.parquet(s"$indexDir/postings")
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap(tp => tp.blocks.iterator.flatMap(b =>
+        Blocks.decodeDocIds(b).iterator.map(d => (tp.term, d))))
+      .toDF("term", "doc_id")
+    val fg = m.join(termDoc, Seq("doc_id")).groupBy("query_id", "term")
+      .agg(count(lit(1)).as("fg_df"))
+    val bg = spark.read.parquet(s"$indexDir/terms")
+      .groupBy("term").agg(sum("df").as("bg_df"))
+    val bgN = QueryEngine.loadStats(spark, indexDir).n
+    SearchOps.rankSignificant(fg, fgN, bg, bgN, n)
+  }
+
+  /** Field collapsing served from the index (ES `collapse`): best doc per
+    * (query, field value) over [[scoredMatches]], then the global top-k of
+    * the representatives.
+    */
+  def collapseTopK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String, k: Int = 10): DataFrame = {
+    val wg = Window.partitionBy(col("query_id"), col(field))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scoredMatches(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("grank", row_number().over(wg))
+      .filter(col("grank") === 1)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col(field),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Fuzzy term expansion served from the term dictionary (the rewrite
     * stage of an ES `fuzzy` query): the dictionary table — (term, df),
     * segments summed on read — replaces any corpus derivation; probes are

@@ -559,6 +559,60 @@ object SearchOps {
         round(col("score"), 4).as("score"))
   }
 
+  /** significant_terms aggregation (ES JLH heuristic): terms overrepresented
+    * in each query's match set vs the corpus background.
+    * jlh = (fg_rate − bg_rate) × (fg_rate / bg_rate), rates as plain double
+    * divisions — the identical expression (and operand integers) on the
+    * index side and in the oracle. Only positive-lift terms surface.
+    */
+  def significantTerms(docs: DataFrame, queries: Seq[(String, String)],
+      n: Int = 5): DataFrame = {
+    val docTerm = graft.ops.TextOps.tokens(docs).select("doc_id", "term").distinct()
+    val m = Bm25Sql.scoredDocs(docs, queries).select("query_id", "doc_id").distinct()
+    val fgN = m.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
+    val bg = docTerm.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val bgN = docTerm.select("doc_id").distinct().count()
+    val fg = m.join(docTerm, Seq("doc_id")).groupBy("query_id", "term")
+      .agg(count(lit(1)).as("fg_df"))
+    rankSignificant(fg, fgN, bg, bgN, n)
+  }
+
+  /** Shared JLH ranking tail (relational + index twins): identical column
+    * expressions so the doubles match bit-for-bit.
+    */
+  private[query] def rankSignificant(fg: DataFrame, fgN: DataFrame, bg: DataFrame,
+      bgN: Long, n: Int): DataFrame = {
+    val fgRate = col("fg_df").cast("double") / col("fg_n")
+    val bgRate = col("bg_df").cast("double") / lit(bgN)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("jlh").desc, col("term").asc)
+    fg.join(broadcast(fgN), Seq("query_id"))
+      .join(bg, Seq("term"))
+      .withColumn("jlh", (fgRate - bgRate) * (fgRate / bgRate))
+      .filter(col("jlh") > 0.0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col("rank"), col("term"), col("fg_df"), col("bg_df"),
+        round(col("jlh"), 4).as("jlh"))
+  }
+
+  /** Field collapsing (ES `collapse`): the best-scoring doc per (query,
+    * field value), then the global top-k of those representatives.
+    */
+  def collapseTopK(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "source", k: Int = 10): DataFrame = {
+    val wg = Window.partitionBy(col("query_id"), col(field))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("grank", row_number().over(wg))
+      .filter(col("grank") === 1)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col(field),
+        round(col("score"), 4).as("score"))
+  }
+
   val Phrases: Seq[(String, String)] = Seq(
     "p1" -> "table hash",
     "p2" -> "slow hash batch",

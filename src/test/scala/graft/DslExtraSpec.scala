@@ -121,6 +121,28 @@ class DslExtraSpec extends SparkSpecBase {
     rel.filter(_.head == "b1").foreach(r => assert(!slowDocs(r(2).asInstanceOf[Long])))
   }
 
+  test("significant_terms: index twin == relational; lift positive, fg_df bounded by bg_df") {
+    val rel = rows(SearchOps.significantTerms(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.significantTerms(spark, idx, RefQueries.set)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.foreach { r =>
+      assert(r(3).asInstanceOf[Long] <= r(4).asInstanceOf[Long]) // fg_df <= bg_df
+      assert(r(5).asInstanceOf[Double] > 0.0)
+    }
+  }
+
+  test("collapse: index twin == relational; one representative per field value") {
+    val rel = rows(SearchOps.collapseTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.collapseTopK(spark, idx, RefQueries.set, docs, "source")
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.groupBy(_.head).foreach { case (_, g) =>
+      val vals = g.map(_(3))
+      assert(vals.distinct.size == vals.size)
+    }
+  }
+
   test("match_phrase_prefix: positional-index twin == narrow relational twin") {
     val pos = IndexCache.positionsForDocuments(spark, sf)
     val rel = rows(SearchOps.phrasePrefixCounts(docs).orderBy("phrase_id", "doc_id"))
