@@ -293,6 +293,22 @@ object SparkEntry {
       IndexSearch.collapseTopK(s, idx, RefQueries.set, TextOps.documents(s, d), "source")
         .orderBy("query_id", "rank")
     }),
+    "q_nested_agg" -> ((s, d) =>
+      SearchOps.nestedAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "lang")),
+    "q_nested_agg_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.nestedAgg(s, idx, RefQueries.set, TextOps.documents(s, d), "lang", "n_chars")
+        .orderBy("query_id", "lang")
+    }),
+    "q_terms_filter" -> ((s, d) =>
+      SearchOps.termsFilterTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_terms_filter_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.termsFilterTopK(s, idx, RefQueries.set, TextOps.documents(s, d),
+        "lang", SearchOps.TermsFilterLangs).orderBy("query_id", "rank")
+    }),
 
     // ---- reference pipeline operators (monstache analogs) ----
     "q_version_dedup" -> ((s, d) => Relational.versionDedup(s, d).drop("ts")),
@@ -642,6 +658,27 @@ object SparkEntry {
        |g AS (SELECT *, row_number() OVER (PARTITION BY query_id, source ORDER BY score DESC, doc_id ASC) AS grank FROM j),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, source, round(score, 4) AS score FROM g WHERE grank = 1)
        |SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Nested aggregation (terms bucket + stats sub-agg): per (query, lang),
+    * doc count and n_chars stats over the match set.
+    */
+  private def nestedAggSql: String =
+    s"""WITH $TOK, $TF,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON q.term = tf.term)
+       |SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs, min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars, round(avg(d.n_chars::DOUBLE) + 1.0e-9, 4) + 0.0 AS avg_chars
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin
+
+  /** terms filter (value-list filter context): ranking restricted to docs
+    * whose lang is in the fixture list; scoring stays corpus-wide.
+    */
+  private def termsFilterSql: String = {
+    val vals = graft.query.SearchOps.TermsFilterLangs.map(v => s"'$v'").mkString(", ")
+    s"""WITH $scoredCtes,
+       |inr AS (SELECT s.query_id, s.doc_id, s.score FROM scored s JOIN documents d ON s.doc_id = d.doc_id WHERE d.lang IN ($vals)),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM inr)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Boosted twin of bm25Sql: per-term boost multiplies each addend before
     * the ordered summation (same association as the Spark column:
@@ -1152,6 +1189,10 @@ object SparkEntry {
     "q_sig_terms_index" -> sigTermsSql,
     "q_collapse" -> collapseSql,
     "q_collapse_index" -> collapseSql,
+    "q_nested_agg" -> nestedAggSql,
+    "q_nested_agg_index" -> nestedAggSql,
+    "q_terms_filter" -> termsFilterSql,
+    "q_terms_filter_index" -> termsFilterSql,
     "q_corpus_stats" ->
       s"""WITH $TOK, $DL
          |SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,

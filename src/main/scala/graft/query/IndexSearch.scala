@@ -635,6 +635,30 @@ object IndexSearch {
         round(col("score"), 4).as("score"))
   }
 
+  /** Nested aggregation served from the index (ES terms bucket + stats
+    * sub-agg): match set from postings, facet + field from doc-values, one
+    * uniform doc_id join + one aggregation.
+    */
+  def nestedAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, facet: String, field: String): DataFrame =
+    matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(facet), col(field)), Seq("doc_id"))
+      .groupBy("query_id", facet)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_chars"), max(col(field)).as("max_chars"),
+        (round(avg(col(field).cast("double")) + lit(1.0e-9), 4) + lit(0.0)).as("avg_chars"))
+
+  /** ES `terms` filter served from the index: the value list maps to an
+    * allowed docId set via doc-values, riding the inclusion gate
+    * ([[QueryEngine.topKWithin]]) bucket-locally.
+    */
+  def termsFilterTopK(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, facet: String, values: Seq[String], k: Int = 10): DataFrame =
+    QueryEngine.topKWithin(spark, indexDir, queries, k,
+      docsMeta.filter(col(facet).isin(values: _*)).select(col("doc_id").as("docId"))).toDF()
+      .select(col("queryId").as("query_id"), col("rank"),
+        col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+
   /** Fuzzy term expansion served from the term dictionary (the rewrite
     * stage of an ES `fuzzy` query): the dictionary table — (term, df),
     * segments summed on read — replaces any corpus derivation; probes are

@@ -613,6 +613,38 @@ object SearchOps {
         round(col("score"), 4).as("score"))
   }
 
+  /** Nested aggregation (ES terms bucket + stats sub-agg): per (query,
+    * facet value), count/min/max/avg of `field` over the match set.
+    */
+  def nestedAgg(docs: DataFrame, queries: Seq[(String, String)],
+      facet: String = "lang", field: String = "n_chars"): DataFrame =
+    Bm25Sql.scoredDocs(docs, queries)
+      .select("query_id", "doc_id").distinct()
+      .join(docs.select(col("doc_id"), col(facet), col(field)), Seq("doc_id"))
+      .groupBy("query_id", facet)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_chars"), max(col(field)).as("max_chars"),
+        (round(avg(col(field).cast("double")) + lit(1.0e-9), 4) + lit(0.0)).as("avg_chars"))
+
+  /** terms filter values for the q_terms_filter fixture. */
+  val TermsFilterLangs: Seq[String] = Seq("de", "fr")
+
+  /** ES `terms` query in filter context: BM25 ranking restricted to docs
+    * whose `facet` is in the value list; scoring stays corpus-wide.
+    */
+  def termsFilterTopK(docs: DataFrame, queries: Seq[(String, String)],
+      facet: String = "lang", values: Seq[String] = TermsFilterLangs,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, queries)
+      .join(docs.select(col("doc_id"), col(facet)), Seq("doc_id"))
+      .filter(col(facet).isin(values: _*))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   val Phrases: Seq[(String, String)] = Seq(
     "p1" -> "table hash",
     "p2" -> "slow hash batch",

@@ -143,6 +143,29 @@ class DslExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("nested agg: index twin == relational; per-bucket stats consistent") {
+    val rel = rows(SearchOps.nestedAgg(docs, RefQueries.set).orderBy("query_id", "lang"))
+    val srv = rows(IndexSearch.nestedAgg(spark, idx, RefQueries.set, docs, "lang", "n_chars")
+      .orderBy("query_id", "lang"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.foreach { r =>
+      val (mn, mx, avg) = (r(3).asInstanceOf[Long], r(4).asInstanceOf[Long],
+        r(5).asInstanceOf[Double])
+      assert(mn <= mx && mn <= avg && avg <= mx)
+    }
+  }
+
+  test("terms filter: index twin (inclusion gate) == relational; hits only in the value list") {
+    import spark.implicits._
+    val rel = rows(SearchOps.termsFilterTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.termsFilterTopK(spark, idx, RefQueries.set, docs,
+      "lang", SearchOps.TermsFilterLangs).orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    val allowedDocs = docs.filter(col("lang").isin(SearchOps.TermsFilterLangs: _*))
+      .select("doc_id").as[Long].collect().toSet
+    srv.foreach(r => assert(allowedDocs(r(2).asInstanceOf[Long])))
+  }
+
   test("match_phrase_prefix: positional-index twin == narrow relational twin") {
     val pos = IndexCache.positionsForDocuments(spark, sf)
     val rel = rows(SearchOps.phrasePrefixCounts(docs).orderBy("phrase_id", "doc_id"))
