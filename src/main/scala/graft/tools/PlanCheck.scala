@@ -137,6 +137,24 @@ object PlanCheck {
       wants = Seq("PushedFilters: [In(term"),
       rejects = Seq("documents.parquet"))
 
+    // 9c. round-4 DSL: dis_max retrieval is the term-pruned scoredMatches
+    // postings scan (corpus gone); the inclusion gate (range/terms filter)
+    // must show the polarity CoGroup, never a collected set
+    check("dis_max via scoredMatches (no corpus scan)",
+      graft.query.IndexSearch.disMaxTopK(spark, idx, graft.RefQueries.set)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet"))
+    val allowDf = TextOps.documents(spark, sfDir)
+      .filter(col("n_chars").between(150, 400))
+      .select(col("doc_id").cast("long").as("docId"))
+    check("inclusion gate cogroup (range filter)",
+      graft.query.QueryEngine.topKWithin(spark, idx, graft.RefQueries.set, 10, allowDf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("CoGroup"),
+      rejects = Seq("CartesianProduct"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
