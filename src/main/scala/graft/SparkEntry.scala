@@ -113,6 +113,18 @@ object SparkEntry {
       s.read.parquet(s"$idx/terms").groupBy("term")
         .agg(sum("df").as("df")).orderBy("term")
     }),
+    "q_rescore" -> ((s, d) =>
+      // ES rescore: top-20 BM25 window reranked by exact-phrase bonus
+      SearchOps.rescoreTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_rescore_index" -> ((s, d) => {
+      // WAND retrieval window + positional-sidecar phrase secondary; must
+      // hash-equal the relational twin above
+      val idx = IndexCache.forDocuments(s, d)
+      val pos = IndexCache.positionsForDocuments(s, d)
+      IndexSearch.rescoreTopK(s, idx, pos, RefQueries.set)
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- the same query DSL served FROM the index (IndexSearch) — each
     // entry shares its relational twin's oracle, so the driver hash-checks
@@ -902,6 +914,49 @@ object SparkEntry {
        |$union ORDER BY phrase_id, doc_id""".stripMargin
   }
 
+  /** ES rescore oracle: BM25 top-20 window (the bm25Sql scored CTE), then
+    * rerank that window ONLY by score + 0.5 × exact-phrase occurrences of
+    * the full query text (phraseSql's counting pattern, one m_ CTE per
+    * query). Shared verbatim by the relational and index-served twins.
+    */
+  private def rescoreSql: String = {
+    val ctes = RefQueries.set.map { case (qid, text) =>
+      val ws = graft.textprep.TextPrep.tokenize(text)
+      val n = ws.length
+      val conds = ws.zipWithIndex.map { case (w, j) =>
+        if (j == 0) s"toks[i] = '$w'" else s"toks[i+$j] = '$w'"
+      }.mkString(" AND ")
+      s"""m_$qid AS (SELECT '$qid' AS phrase_id, doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n)
+         |  WHERE $conds GROUP BY 1, 2)""".stripMargin
+    }
+    val union = RefQueries.set.map { case (qid, _) => s"SELECT * FROM m_$qid" }
+      .mkString(" UNION ALL ")
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |win AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS brank FROM scored),
+       |base AS (SELECT query_id, doc_id, score FROM win WHERE brank <= 20),
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |${ctes.mkString(",\n")},
+       |ph AS ($union),
+       |resc AS (SELECT b.query_id, b.doc_id, b.score + 0.5 * coalesce(ph.n_matches, 0) AS rescored
+       |         FROM base b LEFT JOIN ph ON b.query_id = ph.phrase_id AND b.doc_id = ph.doc_id),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY rescored DESC, doc_id ASC)::INT AS rank, doc_id, round(rescored, 4) AS score FROM resc)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+  }
+
   private def shinglesSql(n: Int): String =
     s"""arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
        |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n),
@@ -1212,6 +1267,8 @@ object SparkEntry {
     "q_facet_counts" -> facetSql,
     "q_phrase_match" -> phraseSql,
     "q_phrase_index" -> phraseSql, // index path must equal the relational twin
+    "q_rescore" -> rescoreSql,
+    "q_rescore_index" -> rescoreSql, // WAND+positions path ≡ relational twin
     "q_snippets" -> snippetSql,
     "q_should_match" -> shouldMatchSql,
     "q_filtered_topk" -> filteredTopkSql,

@@ -659,6 +659,29 @@ object IndexSearch {
       .select(col("queryId").as("query_id"), col("rank"),
         col("docId").as("doc_id"), round(col("score"), 4).as("score"))
 
+  /** ES `rescore` served from the index: the retrieval window comes from
+    * WAND over postings, the match_phrase secondary from the positional
+    * sidecar — the two index structures composed the way ES composes query
+    * phase + rescore phase. Window semantics identical to the relational
+    * twin (outside-window docs can never enter).
+    */
+  def rescoreTopK(spark: SparkSession, indexDir: String, posDir: String,
+      queries: Seq[(String, String)], window: Int = 20, weight: Double = 0.5,
+      k: Int = 10): DataFrame = {
+    val base = QueryEngine.topK(spark, indexDir, queries, window).toDF()
+      .select(col("queryId").as("query_id"), col("docId").as("doc_id"), col("score"))
+    val ph = graft.index.Positions.phraseMatch(spark, posDir, queries)
+      .withColumnRenamed("phrase_id", "query_id")
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("rescored").desc, col("doc_id").asc)
+    base.join(ph, Seq("query_id", "doc_id"), "left")
+      .withColumn("rescored",
+        col("score") + lit(weight) * coalesce(col("n_matches").cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rescored"), 4).as("score"))
+  }
+
   /** Fuzzy term expansion served from the term dictionary (the rewrite
     * stage of an ES `fuzzy` query): the dictionary table — (term, df),
     * segments summed on read — replaces any corpus derivation; probes are

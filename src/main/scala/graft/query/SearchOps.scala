@@ -645,6 +645,29 @@ object SearchOps {
         round(col("score"), 4).as("score"))
   }
 
+  /** ES `rescore`: retrieve top-`window` by BM25, then re-rank ONLY that
+    * window by `base + weight × phrase-occurrence-count` (the query text as
+    * an exact phrase — a match_phrase secondary, ES's canonical rescorer).
+    * Docs outside the window can never enter, exactly ES semantics.
+    */
+  def rescoreTopK(docs: DataFrame, queries: Seq[(String, String)],
+      window: Int = 20, weight: Double = 0.5, k: Int = 10): DataFrame = {
+    val wb = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val base = Bm25Sql.scoredDocs(docs, queries)
+      .withColumn("brank", row_number().over(wb))
+      .filter(col("brank") <= window)
+      .select("query_id", "doc_id", "score")
+    val ph = phraseCounts(docs, queries).withColumnRenamed("phrase_id", "query_id")
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("rescored").desc, col("doc_id").asc)
+    base.join(ph, Seq("query_id", "doc_id"), "left")
+      .withColumn("rescored",
+        col("score") + lit(weight) * coalesce(col("n_matches").cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rescored"), 4).as("score"))
+  }
+
   val Phrases: Seq[(String, String)] = Seq(
     "p1" -> "table hash",
     "p2" -> "slow hash batch",

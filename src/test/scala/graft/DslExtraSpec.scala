@@ -178,4 +178,30 @@ class DslExtraSpec extends SparkSpecBase {
     // any single-term continuation could alone — the union is real
     assert(rel.count(_.head == "x2") > rel.count(_.head == "x1"))
   }
+
+  test("rescore: index twin (WAND + positions) == relational twin") {
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val rel = rows(SearchOps.rescoreTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.rescoreTopK(spark, idx, pos, RefQueries.set)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+  }
+
+  test("rescore window semantics: outside-window docs never enter; bonus is real") {
+    import spark.implicits._
+    // window == k: rescoring can only REORDER the plain BM25 top-k set
+    val k = RefQueries.K
+    val resc = SearchOps.rescoreTopK(docs, RefQueries.set, window = k, k = k)
+    val base = graft.query.Bm25Sql.topKDocs(docs, RefQueries.set, k)
+    val rSet = resc.select("query_id", "doc_id").as[(String, Long)].collect().toSet
+    val bSet = base.select("query_id", "doc_id").as[(String, Long)].collect().toSet
+    assert(rSet == bSet && rSet.nonEmpty)
+    // the phrase secondary actually fires: some doc's rescored score exceeds
+    // its BM25 score ("spark query" / "the" occur as exact phrases)
+    val rs = resc.select("query_id", "doc_id", "score").as[(String, Long, Double)]
+      .collect().map { case (q, d, s) => (q, d) -> s }.toMap
+    val bs = base.select("query_id", "doc_id", "score").as[(String, Long, Double)]
+      .collect().map { case (q, d, s) => (q, d) -> s }.toMap
+    assert(rs.exists { case (kk, s) => s > bs(kk) + 1e-9 })
+  }
 }
