@@ -113,6 +113,23 @@ object SparkEntry {
       s.read.parquet(s"$idx/terms").groupBy("term")
         .agg(sum("df").as("df")).orderBy("term")
     }),
+    "q_span_near" -> ((s, d) =>
+      // ES span_near (in_order, slop=3): narrow per-doc position-pair fold
+      SearchOps.spanNearCounts(TextOps.documents(s, d)).orderBy("pair_id", "doc_id")),
+    "q_span_near_index" -> ((s, d) => {
+      // positional-sidecar twin; must equal the relational path above
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.spanNearMatch(s, pos, SearchOps.SpanPairs)
+        .orderBy("pair_id", "doc_id")
+    }),
+    "q_term_suggest" -> ((s, d) =>
+      // ES term suggester (did-you-mean): ranked correction shortlist
+      SearchOps.termSuggest(TextOps.documents(s, d)).orderBy("query_id", "rank")),
+    "q_suggest_index" -> ((s, d) => {
+      // same suggester served from the index's term dictionary
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.termSuggest(s, idx, SearchOps.Fuzzies).orderBy("query_id", "rank")
+    }),
     "q_rescore" -> ((s, d) =>
       // ES rescore: top-20 BM25 window reranked by exact-phrase bonus
       SearchOps.rescoreTopK(TextOps.documents(s, d), RefQueries.set)
@@ -796,6 +813,42 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** span_near oracle, generated from SearchOps.SpanPairs (slop = 3): per
+    * (pair, doc), ordered position pairs (i, j) with 0 < j−i ≤ slop+1.
+    */
+  private def spanNearSql: String = {
+    val slop = 3
+    val ctes = graft.query.SearchOps.SpanPairs.map { case (pid, a, b) =>
+      s"""p_$pid AS (SELECT '$pid' AS pair_id, pa.doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, i FROM arridx WHERE toks[i] = '$a') pa
+         |  JOIN (SELECT doc_id, i AS j FROM arridx WHERE toks[i] = '$b') pb
+         |  ON pa.doc_id = pb.doc_id AND pb.j > pa.i AND pb.j <= pa.i + ${slop + 1}
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val union = graft.query.SearchOps.SpanPairs.map { case (pid, _, _) => s"SELECT * FROM p_$pid" }
+      .mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM arrs WHERE len(toks) >= 1),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY pair_id, doc_id""".stripMargin
+  }
+
+  /** Term-suggester oracle: dictionary corrections at edit distance 1..2,
+    * ranked (dist asc, df desc, term asc), top-3 per probe. Shared by the
+    * relational and term-dictionary-served twins. All-integer columns.
+    */
+  private def suggestSql: String = {
+    val vals = graft.query.SearchOps.Fuzzies
+      .map { case (id, t) => s"('$id','$t')" }.mkString(", ")
+    s"""WITH $TOK,
+       |dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+       |f(query_id, qterm) AS (VALUES $vals),
+       |cand AS (SELECT f.query_id, f.qterm, d.term, levenshtein(f.qterm, d.term)::BIGINT AS dist, d.df
+       |         FROM f JOIN dict d ON levenshtein(f.qterm, d.term) BETWEEN 1 AND 2),
+       |ranked AS (SELECT query_id, qterm, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, df DESC, term ASC)::INT AS rank, term, dist, df FROM cand)
+       |SELECT query_id, qterm, rank, term, dist, df FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   private def fuzzySql: String = {
     val vals = graft.query.SearchOps.Fuzzies
       .map { case (id, t) => s"('$id','$t')" }.mkString(", ")
@@ -1269,6 +1322,10 @@ object SparkEntry {
     "q_phrase_index" -> phraseSql, // index path must equal the relational twin
     "q_rescore" -> rescoreSql,
     "q_rescore_index" -> rescoreSql, // WAND+positions path ≡ relational twin
+    "q_term_suggest" -> suggestSql,
+    "q_suggest_index" -> suggestSql, // term-dictionary path ≡ relational twin
+    "q_span_near" -> spanNearSql,
+    "q_span_near_index" -> spanNearSql, // positional-sidecar path ≡ relational twin
     "q_snippets" -> snippetSql,
     "q_should_match" -> shouldMatchSql,
     "q_filtered_topk" -> filteredTopkSql,

@@ -241,4 +241,65 @@ object Positions {
       }
       .toDF("phrase_id", "doc_id", "n_matches")
   }
+
+  /** Index-backed span_near (in_order=true, 2-term): per (pair, doc), the
+    * number of ordered position pairs with at most `slop` intervening
+    * tokens — output contract identical to `SearchOps.spanNearCounts` (the
+    * narrow relational twin / shared oracle). Counts depend only on
+    * position DIFFERENCES, so the sidecar's base offset is immaterial.
+    *
+    * Shape: positions scan prunes to the pair terms (IN); per bucket, each
+    * co-occurring doc is counted with two binary-search bounds per lead
+    * position (first-follower window (p, p+slop+1]) — O(|pa|·log|pb|) per
+    * doc, no cross-doc state.
+    */
+  def spanNearMatch(spark: SparkSession, indexDir: String,
+      pairs: Seq[(String, String, String)], slop: Int = 3,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val allTerms = pairs.flatMap { case (_, a, b) => Seq(a, b) }.distinct
+    val pairsB = spark.sparkContext.broadcast(pairs)
+    val tombB = spark.sparkContext.broadcast(tombstones)
+
+    val rows = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("docId"), col("positions"))
+      .as[(Int, String, Long, Array[Int])]
+
+    // insertion index of v in a strictly-increasing array
+    def lowerBound(arr: Array[Int], v: Int): Int = {
+      val i = java.util.Arrays.binarySearch(arr, v)
+      if (i >= 0) i else -i - 1
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val pos = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Array[Int]]]
+        it.foreach { case (_, term, docId, ps) =>
+          pos.getOrElseUpdate(term, scala.collection.mutable.HashMap.empty).put(docId, ps)
+        }
+        val tomb = tombB.value
+        pairsB.value.iterator.flatMap { case (pid, a, b) =>
+          (pos.get(a), pos.get(b)) match {
+            case (Some(ma), Some(mb)) =>
+              ma.iterator.filter(e => !tomb.contains(e._1)).flatMap { case (docId, pa) =>
+                mb.get(docId) match {
+                  case Some(pb) =>
+                    var cnt = 0L
+                    var i = 0
+                    while (i < pa.length) {
+                      val p = pa(i)
+                      cnt += lowerBound(pb, p + slop + 2) - lowerBound(pb, p + 1)
+                      i += 1
+                    }
+                    if (cnt > 0) Iterator.single((pid, docId, cnt)) else Iterator.empty
+                  case None => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("pair_id", "doc_id", "n_matches")
+  }
 }

@@ -697,4 +697,26 @@ object IndexSearch {
       .select(col("query_id"), col("qterm"), col("term"),
         levenshtein(col("qterm"), col("term")).cast("bigint").as("dist"), col("df"))
   }
+
+  /** Term suggester (ES `suggest.term`) served from the term dictionary:
+    * candidates within edit distance (0, maxDist], ranked (dist asc, df
+    * desc, term asc), top-`n` per probe — the shortlist ES's suggester
+    * builds per shard from ITS term dictionary. No corpus access at all.
+    */
+  def termSuggest(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String)], maxDist: Int = 2, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dict = spark.read.parquet(s"$indexDir/terms")
+      .groupBy("term").agg(sum("df").as("df"))
+    val f = probes.toDF("query_id", "qterm")
+    val d = levenshtein(col("qterm"), col("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    dict.join(broadcast(f), d > 0 && d <= maxDist)
+      .withColumn("dist", levenshtein(col("qterm"), col("term")).cast("bigint"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col("qterm"), col("rank"), col("term"),
+        col("dist"), col("df"))
+  }
 }

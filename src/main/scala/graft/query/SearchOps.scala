@@ -422,6 +422,35 @@ object SearchOps {
         levenshtein(col("qterm"), col("term")).cast("bigint").as("dist"), col("df"))
   }
 
+  /** Term suggester (ES did-you-mean, `suggest.term`): for each probe, the
+    * top-`n` dictionary corrections within edit distance (0, maxDist],
+    * ranked the way ES ranks suggestions — closer first, then more
+    * frequent, then lexicographic. Distinct from [[fuzzyExpand]] (the query
+    * REWRITE, which keeps every expansion): the suggester is a ranked
+    * shortlist for display. All-integer output — no FP parity surface.
+    *
+    * Scale shape: dictionary is (term, df) — vocabulary-sized, orders of
+    * magnitude below the corpus; probes broadcast; the edit-distance
+    * comparison never shuffles the corpus.
+    */
+  def termSuggest(docs: DataFrame, probes: Seq[(String, String)] = Fuzzies,
+      maxDist: Int = 2, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = probes.toDF("query_id", "qterm")
+    val dict = TextOps.tokens(docs)
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val d = levenshtein(col("qterm"), col("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    dict.join(broadcast(f), d > 0 && d <= maxDist)
+      .withColumn("dist", levenshtein(col("qterm"), col("term")).cast("bigint"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col("qterm"), col("rank"), col("term"),
+        col("dist"), col("df"))
+  }
+
   /** Fixed phrase set for the driver query (chosen to hit the harness
     * corpus; counts verified nonzero at sf0.01).
     */
@@ -697,6 +726,40 @@ object SearchOps {
         filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
       .select(col("doc_id"), explode(array(perPhrase: _*)).as("m"))
       .select(col("m.phrase_id").as("phrase_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** span_near probes: (pair_id, first term, second term); s5 never
+    * co-occurs (empty-result case).
+    */
+  val SpanPairs: Seq[(String, String, String)] = Seq(
+    ("s1", "hash", "join"), ("s2", "table", "hash"), ("s3", "slow", "batch"),
+    ("s4", "the", "query"), ("s5", "spark", "missingzzz"))
+
+  /** span_near (ES `span_near`, in_order=true) for a 2-term pair: per
+    * (pair, doc), the number of ordered position pairs (i, j) with
+    * toks[i]=a, toks[j]=b, 0 < j−i ≤ slop+1 — i.e. `b` follows `a` with at
+    * most `slop` intervening tokens. Entirely NARROW like [[phraseCounts]]:
+    * both position lists and the pair count are folds over the doc's own
+    * token array; at 100 TB this is one map over the corpus scan.
+    */
+  def spanNearCounts(docs: DataFrame, pairs: Seq[(String, String, String)] = SpanPairs,
+      slop: Int = 3): DataFrame = {
+    val toks = col("toks")
+    val perPair = pairs.map { case (pid, a, b) =>
+      val pa = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === a)
+      val pb = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === b)
+      val cnt = aggregate(pa, lit(0L), (acc, i) =>
+        acc + size(filter(pb, j => j > i && j <= i + slop + 1)).cast("long"))
+      // guard BEFORE sequence(): an empty doc would build a descending range
+      struct(lit(pid).as("pair_id"),
+        when(size(toks) > 0, cnt).otherwise(lit(0L)).as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(perPair: _*)).as("m"))
+      .select(col("m.pair_id").as("pair_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
       .filter(col("n_matches") > 0)
   }
 

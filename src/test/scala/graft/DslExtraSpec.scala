@@ -204,4 +204,45 @@ class DslExtraSpec extends SparkSpecBase {
       .collect().map { case (q, d, s) => (q, d) -> s }.toMap
     assert(rs.exists { case (kk, s) => s > bs(kk) + 1e-9 })
   }
+
+  test("term suggester: dictionary twin == relational; ES ranking semantics") {
+    val rel = rows(SearchOps.termSuggest(docs).orderBy("query_id", "rank"))
+    val srv = rows(IndexSearch.termSuggest(spark, idx, SearchOps.Fuzzies)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    // closer-first: f1 "spak" suggests "spark" (dist 1) over any dist-2 term
+    val f1 = rel.filter(_.head == "f1")
+    assert(f1.head(3) == "spark" && f1.head(4) == 1L)
+    // a shortlist, never an expansion dump: <= 3 per probe, dist in (0, 2]
+    rel.groupBy(_.head).foreach { case (_, rs) => assert(rs.size <= 3) }
+    assert(rel.forall(r => r(4).asInstanceOf[Long] >= 1L && r(4).asInstanceOf[Long] <= 2L))
+    // an in-dictionary probe never suggests itself (dist 0 excluded)
+    assert(!rel.filter(_.head == "f5").exists(_(3) == "merge"))
+  }
+
+  test("span_near: positional twin == relational; slop=0 degenerates to the exact phrase") {
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val rel = rows(SearchOps.spanNearCounts(docs).orderBy("pair_id", "doc_id"))
+    val srv = rows(graft.index.Positions.spanNearMatch(spark, pos, SearchOps.SpanPairs)
+      .orderBy("pair_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    // s5 never co-occurs
+    assert(!rel.exists(_.head == "s5"))
+    // slop=0 == adjacent pairs == the 2-term exact phrase count, on both paths
+    val pair = Seq(("z", "table", "hash"))
+    val adj = rows(SearchOps.spanNearCounts(docs, pair, slop = 0).orderBy("doc_id"))
+      .map(r => (r(1), r(2)))
+    val phr = rows(SearchOps.phraseCounts(docs, Seq("z" -> "table hash")).orderBy("doc_id"))
+      .map(r => (r(1), r(2)))
+    assert(adj.nonEmpty && adj == phr)
+    val adjIdx = rows(graft.index.Positions.spanNearMatch(spark, pos, pair, slop = 0)
+      .orderBy("doc_id")).map(r => (r(1), r(2)))
+    assert(adjIdx == phr)
+    // widening the window only adds matches
+    val wide = rows(SearchOps.spanNearCounts(docs, pair, slop = 3).orderBy("doc_id"))
+      .map(r => (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])).toMap
+    adj.foreach { case (d, n) =>
+      assert(wide(d.asInstanceOf[Long]) >= n.asInstanceOf[Long])
+    }
+  }
 }
