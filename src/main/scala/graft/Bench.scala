@@ -137,10 +137,11 @@ object Bench {
     // VM swing up to 3x with neighbor load — min-of-reps needs samples.
     val execDocs = sys.env.getOrElse("SPARK_GRAFT_EXEC_DOCS", "1000000").toLong
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096").toInt
-    // 6 reps: the 4x2 level swings ~1.5x with neighbor load on this VM
+    // 8 reps: the 4x2 level swings up to ~3x with neighbor load on this VM
     // (see reps_high_docs_per_sec in any recorded artifact) while 1x2 is
-    // stable — min-of-reps needs enough samples to catch a quiet window
-    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "6").toInt
+    // stable — min-of-reps needs enough samples to catch a quiet window;
+    // the 0.623-efficiency dev2 artifact was recorded at 8
+    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "8").toInt
     val execLayouts = Seq((1, 2), (4, 2)) // (executors, coresPerExecutor)
     graft.tools.ClusterProf.ensureSparkScalaVersion()
     def clusterSession(execs: Int, coresPer: Int): SparkSession = {

@@ -155,6 +155,20 @@ object PlanCheck {
       wants = Seq("CoGroup"),
       rejects = Seq("CartesianProduct"))
 
+    // 9d. suggester reads ONLY the term dictionary; span_near's positions
+    // scan is term-pruned at the parquet reader
+    check("term suggester via terms dictionary (no corpus scan)",
+      graft.query.IndexSearch.termSuggest(spark, idx, graft.query.SearchOps.Fuzzies)
+        .queryExecution.explainString(fmt),
+      wants = Seq("BroadcastNestedLoopJoin"),
+      rejects = Seq("documents.parquet", "SortMergeJoin", "CartesianProduct"))
+    val posDir = graft.IndexCache.positionsForDocuments(spark, sfDir)
+    check("span_near positions term pushdown",
+      graft.index.Positions.spanNearMatch(spark, posDir, graft.query.SearchOps.SpanPairs)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
