@@ -37,6 +37,22 @@ object IndexCache {
       dir
     })
 
+  private val bigBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Bigram (shingle) statistics sidecar — the analog of the shingle
+    * subfield ES's phrase suggester requires a field to be indexed with.
+    * Vocabulary²-bounded in theory, corpus-bigram-bounded in practice; built
+    * once per sfDir per JVM like the positional sidecar.
+    */
+  def bigramsForDocuments(spark: SparkSession, sfDir: String): String =
+    bigBuilt.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bigrams").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.query.SearchOps.bigramCounts(docs)
+        .write.mode("overwrite").parquet(s"$dir/bigrams")
+      dir
+    })
+
   def buildDocumentsIndex(spark: SparkSession, sfDir: String, dir: String, numBuckets: Int): IndexBuilder.BuildResult = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = math.max(1L, docs.count())

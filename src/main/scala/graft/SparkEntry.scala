@@ -113,6 +113,25 @@ object SparkEntry {
       s.read.parquet(s"$idx/terms").groupBy("term")
         .agg(sum("df").as("df")).orderBy("term")
     }),
+    "q_phrase_suggest" -> ((s, d) =>
+      // ES phrase suggester: bigram-LM-ranked whole-phrase corrections
+      SearchOps.phraseSuggest(TextOps.documents(s, d)).orderBy("probe_id", "rank")),
+    "q_phrase_suggest_index" -> ((s, d) => {
+      // dictionary (df, cf) + shingle sidecar; zero corpus access
+      val idx = IndexCache.forDocuments(s, d)
+      val big = IndexCache.bigramsForDocuments(s, d)
+      IndexSearch.phraseSuggest(s, idx, big, SearchOps.PhraseProbes)
+        .orderBy("probe_id", "rank")
+    }),
+    "q_completion_suggest" -> ((s, d) =>
+      // ES completion suggester: autocomplete shortlist ranked by df
+      SearchOps.completionSuggest(TextOps.documents(s, d)).orderBy("prefix_id", "rank")),
+    "q_completion_index" -> ((s, d) => {
+      // StartsWith-pruned term-dictionary scan; must equal the twin above
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.completionSuggest(s, idx, SearchOps.Prefixes)
+        .orderBy("prefix_id", "rank")
+    }),
     "q_span_near" -> ((s, d) =>
       // ES span_near (in_order, slop=3): narrow per-doc position-pair fold
       SearchOps.spanNearCounts(TextOps.documents(s, d)).orderBy("pair_id", "doc_id")),
@@ -813,6 +832,66 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** Phrase-suggester oracle, generated from SearchOps.PhraseProbes:
+    * per-slot top-3 edit-distance candidates (dist asc, df desc, term asc),
+    * combinations scored by the Laplace-smoothed bigram LM — the score
+    * expression is kept textually in lockstep with
+    * SearchOps.phraseSuggestFrom (same left-fold association).
+    */
+  private def phraseSuggestSql: String = {
+    val probes = graft.query.SearchOps.PhraseProbes
+    val slotVals = probes.flatMap { case (pid, text) =>
+      graft.textprep.TextPrep.tokenize(text).zipWithIndex
+        .map { case (t, i) => s"('$pid',$i,'$t')" }
+    }.mkString(", ")
+    val per = probes.map { case (pid, text) =>
+      val a = graft.textprep.TextPrep.tokenize(text).length
+      val cands = (0 until a).map(i =>
+        s"(SELECT term, cnt FROM cand WHERE probe_id='$pid' AND slot=$i) c$i")
+      val frm = cands.head + cands.tail.map(" CROSS JOIN " + _).mkString + " CROSS JOIN tot"
+      val bjoins = (1 until a).map(i =>
+        s"LEFT JOIN big b$i ON b$i.w1 = c${i - 1}.term AND b$i.w2 = c$i.term").mkString("\n  ")
+      val phrase = (0 until a).map(i => s"c$i.term").mkString(" || ' ' || ")
+      val score = (s"ln((c0.cnt + 1.0) / (tot.t + tot.v))" +:
+        (1 until a).map(i =>
+          s"ln((coalesce(b$i.bcnt, 0) + 1.0) / (c${i - 1}.cnt + tot.v))")).mkString(" + ")
+      s"""ph_$pid AS (SELECT '$pid' AS probe_id, $phrase AS phrase, $score AS score
+         |  FROM $frm
+         |  $bjoins)""".stripMargin
+    }
+    val union = probes.map { case (pid, _) => s"SELECT * FROM ph_$pid" }.mkString(" UNION ALL ")
+    s"""WITH $TOK,
+       |dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM dict),
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::BIGINT AS bcnt
+       |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM arrs WHERE len(toks) >= 2)
+       |        GROUP BY 1, 2),
+       |slots(probe_id, slot, qterm) AS (VALUES $slotVals),
+       |cand AS (SELECT probe_id, slot, term, cnt FROM (
+       |  SELECT s.probe_id, s.slot, d.term, d.cnt,
+       |    row_number() OVER (PARTITION BY s.probe_id, s.slot ORDER BY levenshtein(s.qterm, d.term) ASC, d.df DESC, d.term ASC) AS r
+       |  FROM slots s JOIN dict d ON levenshtein(s.qterm, d.term) <= 1) WHERE r <= 3),
+       |${per.mkString(",\n")},
+       |allph AS ($union),
+       |ranked AS (SELECT probe_id, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, phrase ASC)::INT AS rank, phrase, round(score + 1e-9, 4) + 0.0 AS score FROM allph)
+       |SELECT probe_id, rank, phrase, score FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Completion-suggester oracle: dictionary completions per prefix probe,
+    * ranked (df desc, term asc), top-3. All-integer columns.
+    */
+  private def completionSql: String = {
+    val vals = graft.query.SearchOps.Prefixes
+      .map { case (id, p) => s"('$id','$p')" }.mkString(", ")
+    s"""WITH $TOK,
+       |dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+       |p(prefix_id, prefix) AS (VALUES $vals),
+       |cand AS (SELECT p.prefix_id, p.prefix, d.term, d.df FROM p JOIN dict d ON d.term LIKE p.prefix || '%'),
+       |ranked AS (SELECT prefix_id, prefix, row_number() OVER (PARTITION BY prefix_id ORDER BY df DESC, term ASC)::INT AS rank, term, df FROM cand)
+       |SELECT prefix_id, prefix, rank, term, df FROM ranked WHERE rank <= 3 ORDER BY prefix_id, rank""".stripMargin
+  }
+
   /** span_near oracle, generated from SearchOps.SpanPairs (slop = 3): per
     * (pair, doc), ordered position pairs (i, j) with 0 < j−i ≤ slop+1.
     */
@@ -1326,6 +1405,10 @@ object SparkEntry {
     "q_suggest_index" -> suggestSql, // term-dictionary path ≡ relational twin
     "q_span_near" -> spanNearSql,
     "q_span_near_index" -> spanNearSql, // positional-sidecar path ≡ relational twin
+    "q_completion_suggest" -> completionSql,
+    "q_completion_index" -> completionSql, // pruned dictionary path ≡ relational twin
+    "q_phrase_suggest" -> phraseSuggestSql,
+    "q_phrase_suggest_index" -> phraseSuggestSql, // sidecar-served twin
     "q_snippets" -> snippetSql,
     "q_should_match" -> shouldMatchSql,
     "q_filtered_topk" -> filteredTopkSql,

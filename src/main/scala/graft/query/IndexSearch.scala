@@ -703,6 +703,43 @@ object IndexSearch {
     * desc, term asc), top-`n` per probe — the shortlist ES's suggester
     * builds per shard from ITS term dictionary. No corpus access at all.
     */
+  /** Phrase suggester served from index sidecars: candidate terms + df come
+    * from the term dictionary, unigram counts from its `cf` (collection
+    * frequency), bigram statistics from the shingle sidecar — the exact
+    * analog of ES's requirement that the phrase suggester run on a
+    * shingle-indexed field. Zero corpus access; scoring arithmetic shared
+    * verbatim with the relational twin ([[SearchOps.phraseSuggestFrom]]).
+    */
+  def phraseSuggest(spark: SparkSession, indexDir: String, bigramsDir: String,
+      probes: Seq[(String, String)], maxDist: Int = 1, perSlot: Int = 3,
+      n: Int = 3): DataFrame = {
+    val dict = spark.read.parquet(s"$indexDir/terms")
+      .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cnt"))
+    val tot = dict.agg(sum("cnt").as("t"), count(lit(1)).as("v"))
+    val big = spark.read.parquet(s"$bigramsDir/bigrams")
+    SearchOps.phraseSuggestFrom(dict, big, tot, probes, maxDist, perSlot, n)
+  }
+
+  /** Completion suggester served from the term dictionary: the terms scan
+    * carries a literal StartsWith OR-predicate (min/max-pruned on the
+    * term-sorted parquet), df summed across segments, ranked (df desc,
+    * term asc) per probe. No corpus access — the FST-backed lookup ES runs,
+    * re-expressed as a pruned dictionary scan.
+    */
+  def completionSuggest(spark: SparkSession, indexDir: String,
+      prefixes: Seq[(String, String)], n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val p = prefixes.toDF("prefix_id", "prefix")
+    val dict = spark.read.parquet(s"$indexDir/terms")
+      .filter(prefixes.map(pr => col("term").startsWith(pr._2)).reduce(_ || _))
+      .groupBy("term").agg(sum("df").as("df"))
+    val w = Window.partitionBy(col("prefix_id")).orderBy(col("df").desc, col("term").asc)
+    dict.join(broadcast(p), col("term").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("prefix_id"), col("prefix"), col("rank"), col("term"), col("df"))
+  }
+
   def termSuggest(spark: SparkSession, indexDir: String,
       probes: Seq[(String, String)], maxDist: Int = 2, n: Int = 3): DataFrame = {
     import spark.implicits._

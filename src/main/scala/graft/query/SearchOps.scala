@@ -397,6 +397,131 @@ object SearchOps {
         count_distinct(col("doc_id")).as("n_docs"))
   }
 
+  /** Completion suggester (ES `suggest.completion`): per prefix probe, the
+    * top-`n` dictionary completions ranked by weight — df here, ES's
+    * default when no explicit weight is indexed — then lexicographic.
+    * Distinct from [[prefixMatch]] (the prefix QUERY, which counts matching
+    * docs): the completion suggester returns the ranked term shortlist an
+    * autocomplete box displays. All-integer output.
+    */
+  def completionSuggest(docs: DataFrame, prefixes: Seq[(String, String)] = Prefixes,
+      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = prefixes.toDF("prefix_id", "prefix")
+    val dict = TextOps.tokens(docs)
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("prefix_id")).orderBy(col("df").desc, col("term").asc)
+    dict.join(broadcast(p), col("term").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("prefix_id"), col("prefix"), col("rank"), col("term"), col("df"))
+  }
+
+  /** Phrase-suggester probes: ps1–ps3 single-candidate corrections, ps4
+    * already correct (suggests itself), ps5 unfixable (empty), ps6/ps7
+    * ambiguous (`sow` → {slow, row}) so the bigram LM ranking is exercised
+    * in both slot positions.
+    */
+  val PhraseProbes: Seq[(String, String)] = Seq(
+    "ps1" -> "slow hach batch", "ps2" -> "spak query", "ps3" -> "the tabl",
+    "ps4" -> "hash join", "ps5" -> "qzx wubba", "ps6" -> "sow batch",
+    "ps7" -> "the sow")
+
+  /** Adjacent-bigram corpus counts (w1, w2, bcnt) — the shingle statistics
+    * ES's phrase suggester requires its field to be indexed with. Narrow
+    * position-anchored pairs, one grouped count (the [[TextOps.collocations]]
+    * shape).
+    */
+  def bigramCounts(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    docs.select(filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+  }
+
+  /** Phrase suggester (ES `suggest.phrase`): per multi-term probe, whole
+    * corrected phrases ranked by a Laplace-smoothed bigram language model
+    * over the corpus. Per slot, the top-`perSlot` dictionary candidates
+    * within edit distance ≤ `maxDist` (distance 0 included — a correct term
+    * is its own best candidate); candidate combinations are scored
+    *   ln((u₀+1)/(T+V)) + Σᵢ ln((b₍ᵢ₋₁,ᵢ₎+1)/(uᵢ₋₁+V))
+    * and ranked (score desc, phrase asc), top-`n` per probe.
+    *
+    * Scale shape: dictionary and bigram tables are vocabulary-sized;
+    * probes/slots broadcast; combinations are ≤ perSlot^arity per probe —
+    * never corpus-sized. The corpus is touched only to derive the stats
+    * (the index twin reads them from sidecars instead).
+    */
+  def phraseSuggest(docs: DataFrame, probes: Seq[(String, String)] = PhraseProbes,
+      maxDist: Int = 1, perSlot: Int = 3, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = TextOps.tokens(docs).groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("cnt"))
+    val tot = dict.agg(sum("cnt").as("t"), count(lit(1)).as("v"))
+    phraseSuggestFrom(dict, bigramCounts(docs), tot, probes, maxDist, perSlot, n)
+  }
+
+  /** Shared phrase-suggester core over (term, df, cnt) dictionary, bigram
+    * and 1-row totals tables — the relational and index-served twins differ
+    * ONLY in where those three tables come from, so scoring arithmetic is
+    * shared verbatim (FP parity).
+    */
+  private[query] def phraseSuggestFrom(dict: DataFrame, big: DataFrame, tot: DataFrame,
+      probes: Seq[(String, String)], maxDist: Int, perSlot: Int, n: Int): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val slots = probes.flatMap { case (pid, text) =>
+      TextPrep.tokenize(text).zipWithIndex.map { case (t, i) => (pid, i, t) }
+    }.toDF("probe_id", "slot", "qterm")
+    val wSlot = Window.partitionBy(col("probe_id"), col("slot"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    val cand = dict.join(broadcast(slots), levenshtein(col("qterm"), col("term")) <= maxDist)
+      .withColumn("dist", levenshtein(col("qterm"), col("term")).cast("bigint"))
+      .withColumn("r", row_number().over(wSlot)).filter(col("r") <= perSlot)
+      .select("probe_id", "slot", "term", "cnt")
+
+    val arities: Seq[(String, Int)] = probes.map { case (pid, text) =>
+      pid -> TextPrep.tokenize(text).length
+    }
+    val parts = arities.groupBy(_._2).toSeq.sortBy(_._1).map { case (a, ps) =>
+      val pids = ps.map(_._1)
+      var combo: DataFrame = cand
+        .filter(col("probe_id").isin(pids: _*) && col("slot") === 0)
+        .select(col("probe_id"), col("term").as("w0"), col("cnt").as("u0"))
+      for (i <- 1 until a) {
+        combo = combo.join(
+          cand.filter(col("probe_id").isin(pids: _*) && col("slot") === i)
+            .select(col("probe_id"), col("term").as(s"w$i"), col("cnt").as(s"u$i")),
+          Seq("probe_id"))
+      }
+      var scored = combo.crossJoin(broadcast(tot))
+      for (i <- 1 until a) {
+        scored = scored.join(
+          broadcast(big.select(col("w1").as(s"ba$i"), col("w2").as(s"bb$i"),
+            col("bcnt").as(s"b$i"))),
+          col(s"w${i - 1}") === col(s"ba$i") && col(s"w$i") === col(s"bb$i"), "left")
+      }
+      // left-fold sum of logs — identical association in the SQL oracle
+      val first = log((col("u0") + lit(1.0)) / (col("t") + col("v")).cast("double"))
+      val score = (1 until a).map(i =>
+        log((coalesce(col(s"b$i"), lit(0L)) + lit(1.0)) /
+          (col(s"u${i - 1}") + col("v")).cast("double"))).foldLeft(first)(_ + _)
+      scored.select(col("probe_id"),
+        concat_ws(" ", (0 until a).map(i => col(s"w$i")): _*).as("phrase"),
+        score.as("score"))
+    }
+    val all = parts.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score").desc, col("phrase").asc)
+    all.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+      .select(col("probe_id"), col("rank"), col("phrase"),
+        (round(col("score") + lit(1.0e-9), 4) + lit(0.0)).as("score"))
+  }
+
   /** Misspelled probe terms for the driver query: spak→spark, sow→{row,
     * slow}, tha→the, jon→join, merge→merge (dist 0), qzx→∅.
     */

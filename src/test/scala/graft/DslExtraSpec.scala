@@ -245,4 +245,39 @@ class DslExtraSpec extends SparkSpecBase {
       assert(wide(d.asInstanceOf[Long]) >= n.asInstanceOf[Long])
     }
   }
+
+  test("completion suggester: pruned dictionary twin == relational; weight ranking") {
+    val rel = rows(SearchOps.completionSuggest(docs).orderBy("prefix_id", "rank"))
+    val srv = rows(IndexSearch.completionSuggest(spark, idx, SearchOps.Prefixes)
+      .orderBy("prefix_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    // 's' has >3 completions -> exactly 3, df non-increasing
+    val pr1 = rel.filter(_.head == "pr1")
+    assert(pr1.size == 3)
+    val dfs = pr1.map(_(4).asInstanceOf[Long])
+    assert(dfs == dfs.sorted.reverse)
+    // no-completion prefix is absent, not an empty-row artifact
+    assert(!rel.exists(_.head == "pr4"))
+  }
+
+  test("phrase suggester: sidecar twin == relational; LM picks the plausible correction") {
+    val big = IndexCache.bigramsForDocuments(spark, sf)
+    val rel = rows(SearchOps.phraseSuggest(docs).orderBy("probe_id", "rank"))
+    val srv = rows(IndexSearch.phraseSuggest(spark, idx, big, SearchOps.PhraseProbes)
+      .orderBy("probe_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    def top(pid: String): Option[String] =
+      rel.find(r => r.head == pid && r(1) == 1).map(_(2).asInstanceOf[String])
+    // single-candidate corrections land exactly
+    assert(top("ps1").contains("slow hash batch"))
+    assert(top("ps2").contains("spark query"))
+    assert(top("ps3").contains("the table"))
+    // an already-correct phrase suggests itself first
+    assert(top("ps4").contains("hash join"))
+    // unfixable probe yields nothing
+    assert(!rel.exists(_.head == "ps5"))
+    // ambiguous slot: the bigram LM must rank "slow batch" over "row batch"
+    assert(top("ps6").contains("slow batch"))
+    assert(rel.exists(r => r.head == "ps6" && r(2) == "row batch"))
+  }
 }
