@@ -53,6 +53,30 @@ object IndexCache {
       dir
     })
 
+  private val fieldBuilt = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Per-field inverted index (Lucene's one-index-per-field layout) over a
+    * metadata column treated as field text — e.g. the `source` keyword
+    * field for multi_match. Same build path, same bucket layout, own
+    * statistics.
+    */
+  def forField(spark: SparkSession, sfDir: String, field: String): String =
+    fieldBuilt.getOrElseUpdate((sfDir, field), {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-idx-$field").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = math.max(1L, docs.count())
+      val bucketSize = math.max(1L, (n + NumBuckets - 1) / NumBuckets)
+      val assigned = docs.select(
+        col("doc_id").cast("long").as("docId"),
+        (col("doc_id").cast("long") / bucketSize).cast("int").as("bucket"),
+        concat(lit("testdata://"), col("source"), lit("/"), col("doc_id")).as("url"),
+        lit(0L).as("version"),
+        col(field).cast("string").as("text"))
+      IndexBuilder.buildFromAssigned(spark, assigned, dir,
+        IndexBuilder.Config(numBuckets = NumBuckets))
+      dir
+    })
+
   def buildDocumentsIndex(spark: SparkSession, sfDir: String, dir: String, numBuckets: Int): IndexBuilder.BuildResult = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = math.max(1L, docs.count())

@@ -499,7 +499,42 @@ object SparkEntry {
       // payloads keep their row with NULL features and kind 'omitted'
       // (monstache.go:1423-1427 indexes the doc without the file field)
       Multimodal.guardedMeta(Multimodal.mixedPayload(s, d), maxBytes = 300)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- query_string: the end-user query language over the index ----
+    "q_query_string" -> ((s, d) =>
+      graft.query.QueryString.topK(TextOps.documents(s, d))
+        .orderBy("query_id", "rank")),
+    "q_query_string_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.query.QueryString.topKIndex(s, idx, pos).orderBy("query_id", "rank")
+    }),
+
+    // ---- multi-field + composite-agg surface ----
+    "q_multi_match" -> ((s, d) =>
+      SearchOps.multiMatchTopK(TextOps.documents(s, d)).orderBy("query_id", "rank")),
+    "q_multi_match_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      val src = IndexCache.forField(s, d, "source")
+      IndexSearch.multiMatchTopK(s, idx, src).orderBy("query_id", "rank")
+    }),
+    "q_composite_agg" -> ((s, d) =>
+      SearchOps.compositeAggPage(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "page_rank")),
+    "q_composite_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.compositeAggPage(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "page_rank")
+    }),
+
+    // ---- training-shard pipeline: decontamination, balancing, packing ----
+    "q_decontaminate" -> ((s, d) =>
+      graft.ops.Pipeline.decontaminate(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_source_sample" -> ((s, d) =>
+      graft.ops.Pipeline.sourceSample(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_seq_pack" -> ((s, d) =>
+      graft.ops.Pipeline.seqPack(TextOps.documents(s, d)).orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -677,6 +712,134 @@ object SparkEntry {
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM comb)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** query_string oracle: generated from the SAME parse both twins compile
+    * from (`QueryString.parse` — the parser itself is spec-pinned in
+    * QueryStringSpec), so this pins the clause COMPILATION: must/should
+    * ordered-fold BM25 sums (boolFullSql's shape), per-probe phrase-gate
+    * CTEs (phraseSql's counting pattern), banning, and the three candidate
+    * kinds (must-anchored / phrase-anchored / pure-OR) unioned before one
+    * shared ranking.
+    */
+  private def queryStringSql: String = {
+    import graft.query.QueryString
+    val qs = QueryString.QueryStrings
+    val parsed = qs.map { case (qid, q) => (qid, QueryString.parse(q)) }
+    def pairVals(sel: QueryString.Parsed => Seq[String]): String =
+      parsed.flatMap { case (qid, p) => sel(p).map(t => s"('$qid','$t')") }.mkString(", ")
+    val arities = parsed.collect { case (qid, p) if p.must.nonEmpty =>
+      s"('$qid',${p.must.length}::BIGINT)"
+    }.mkString(", ")
+    val probes = QueryString.phraseProbes(qs)
+    val probeCtes = probes.map { case (pid, ptext) =>
+      val ws = graft.textprep.TextPrep.tokenize(ptext)
+      val n = ws.length
+      val conds = ws.zipWithIndex.map { case (w, j) =>
+        if (j == 0) s"toks[i] = '$w'" else s"toks[i+$j] = '$w'"
+      }.mkString(" AND ")
+      val qid = pid.substring(0, pid.lastIndexOf('_'))
+      s"""ph_$pid AS (SELECT '$pid' AS phrase_id, '$qid' AS query_id, doc_id
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n)
+         |  WHERE $conds GROUP BY 3)""".stripMargin
+    }
+    val probeUnion = probes.map { case (pid, _) => s"SELECT * FROM ph_$pid" }
+      .mkString(" UNION ALL ")
+    val phVals = parsed.collect { case (qid, p) if p.phrases.nonEmpty =>
+      s"('$qid',${p.phrases.length}::BIGINT)"
+    }.mkString(", ")
+    val qidsP = parsed.collect { case (qid, p) if p.kind == "P" => s"'$qid'" }.mkString(", ")
+    val qidsS = parsed.collect { case (qid, p) if p.kind == "S" => s"'$qid'" }.mkString(", ")
+    val phraseQids = parsed.collect { case (qid, p) if p.phrases.nonEmpty => s"'$qid'" }
+      .mkString(", ")
+    def addend(dft: String): String =
+      s"""ln(1 + (stats.n - $dft.df + 0.5) / ($dft.df + 0.5))
+         |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))""".stripMargin
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |qm(query_id, term) AS (VALUES ${pairVals(_.must)}),
+       |qsh(query_id, term) AS (VALUES ${pairVals(_.should)}),
+       |qb(query_id, term) AS (VALUES ${pairVals(_.not)}),
+       |qmn(query_id, n_must) AS (VALUES $arities),
+       |qpn(query_id, n_ph) AS (VALUES $phVals),
+       |dftm AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qm) GROUP BY 1),
+       |dfts AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qsh) GROUP BY 1),
+       |sm AS (SELECT qm.query_id, tf.doc_id,
+       |  sum( ${addend("dftm")}
+       |       ORDER BY qm.term ) AS must_score, count(*)::BIGINT AS must_matched
+       |  FROM qm JOIN tf ON qm.term = tf.term JOIN dftm ON qm.term = dftm.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |ss AS (SELECT qsh.query_id, tf.doc_id,
+       |  sum( ${addend("dfts")}
+       |       ORDER BY qsh.term ) AS should_score
+       |  FROM qsh JOIN tf ON qsh.term = tf.term JOIN dfts ON qsh.term = dfts.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |bd AS (SELECT DISTINCT qb.query_id, tf.doc_id FROM qb JOIN tf ON qb.term = tf.term),
+       |${probeCtes.mkString(",\n")},
+       |phall AS (SELECT u.query_id, u.doc_id FROM ($probeUnion) u JOIN qpn ON u.query_id = qpn.query_id
+       |  GROUP BY 1, 2 HAVING count(DISTINCT u.phrase_id) = max(qpn.n_ph)),
+       |candm AS (SELECT sm.query_id, sm.doc_id, sm.must_score FROM sm JOIN qmn ON sm.query_id = qmn.query_id AND sm.must_matched = qmn.n_must),
+       |candp AS (SELECT query_id, doc_id, 0.0 AS must_score FROM phall WHERE query_id IN ($qidsP)),
+       |cands AS (SELECT query_id, doc_id, 0.0 AS must_score FROM ss WHERE query_id IN ($qidsS)),
+       |cand AS (SELECT * FROM candm UNION ALL SELECT * FROM candp UNION ALL SELECT * FROM cands),
+       |gated AS (SELECT c.* FROM cand c WHERE c.query_id NOT IN ($phraseQids)
+       |  OR EXISTS (SELECT 1 FROM phall p WHERE p.query_id = c.query_id AND p.doc_id = c.doc_id)),
+       |fin AS (SELECT g.query_id, g.doc_id, g.must_score + coalesce(s.should_score, 0.0) AS score
+       |  FROM gated g LEFT JOIN ss s ON s.query_id = g.query_id AND s.doc_id = g.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM bd WHERE bd.query_id = g.query_id AND bd.doc_id = g.doc_id)),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM fin)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** multi_match best_fields oracle: per-field BM25 corpora (the `text`
+    * CTEs plus a parallel tok2/tf2/dl2/stats2 block over `source`), full
+    * outer join, then the tie_breaker combination with the twins' exact
+    * association. greatest() and the +/− chain are IEEE-exact on both
+    * sides.
+    */
+  private def multiMatchSql: String = {
+    val vals = graft.query.SearchOps.MultiQueries.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => s"('$qid','$t')")
+    }.mkString(", ")
+    def addend(tf: String, dft: String, dl: String, stats: String): String =
+      s"""ln(1 + ($stats.n - $dft.df + 0.5) / ($dft.df + 0.5))
+         |       * ($tf.tf * 2.2 / ($tf.tf + 1.2 * (0.25 + 0.75 * $dl.doclen / ($stats.tot::DOUBLE / $stats.n::DOUBLE))))""".stripMargin
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |tok2 AS (SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(source), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> ''),
+       |tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+       |dl2 AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY 1),
+       |stats2 AS (SELECT count(*)::BIGINT AS n, sum(doclen)::BIGINT AS tot FROM dl2),
+       |q(query_id, term) AS (VALUES $vals),
+       |dft1 AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |dft2 AS (SELECT term, count(*)::BIGINT AS df FROM tf2 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |sa AS (SELECT q.query_id, tf.doc_id,
+       |  sum( ${addend("tf", "dft1", "dl", "stats")}
+       |       ORDER BY q.term ) AS s_text
+       |  FROM q JOIN tf ON q.term = tf.term JOIN dft1 ON q.term = dft1.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |sb AS (SELECT q.query_id, tf2.doc_id,
+       |  sum( ${addend("tf2", "dft2", "dl2", "stats2")}
+       |       ORDER BY q.term ) AS s_src
+       |  FROM q JOIN tf2 ON q.term = tf2.term JOIN dft2 ON q.term = dft2.term JOIN dl2 ON tf2.doc_id = dl2.doc_id CROSS JOIN stats2 GROUP BY 1, 2),
+       |j AS (SELECT coalesce(a.query_id, b.query_id) AS query_id, coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  coalesce(a.s_text, 0.0) AS v1, coalesce(b.s_src, 0.0) AS v2
+       |  FROM sa a FULL OUTER JOIN sb b ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+       |sc AS (SELECT query_id, doc_id, greatest(v1, v2) + 0.3 * (v1 + v2 - greatest(v1, v2)) AS score FROM j),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM sc)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Composite-aggregation page-2 oracle: bucket enumeration over
+    * (lang, source) in key order, after_key = page-1's last key, page 2 =
+    * strictly-after in tuple order — both twins' exact predicate.
+    */
+  private def compositeSql: String =
+    s"""WITH $TOK, $TF,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON q.term = tf.term),
+       |b AS (SELECT m.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2, 3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY lang ASC, source ASC) AS rn FROM b),
+       |cur AS (SELECT query_id, lang AS a1, source AS a2 FROM r WHERE rn = 5),
+       |p AS (SELECT r.query_id, r.lang, r.source, r.n_docs FROM r JOIN cur ON r.query_id = cur.query_id
+       |  WHERE r.lang > cur.a1 OR (r.lang = cur.a1 AND r.source > cur.a2)),
+       |pr AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY lang ASC, source ASC)::INT AS page_rank, lang, source, n_docs FROM p)
+       |SELECT query_id, page_rank, lang, source, n_docs FROM pr WHERE page_rank <= 5 ORDER BY query_id, page_rank""".stripMargin
 
   /** significant_terms (JLH): overrepresentation of match-set terms vs the
     * corpus background; rates as plain double divisions, identical
@@ -1774,6 +1937,39 @@ object SparkEntry {
     "q_transform_config" ->
       """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '[.!?,;:]', '', 'g') AS text FROM documents)
         |SELECT doc_id, md5(text) AS text_hash, length(text)::BIGINT AS n_chars_t
-        |FROM t WHERE length(text) >= 200 ORDER BY doc_id""".stripMargin
+        |FROM t WHERE length(text) >= 200 ORDER BY doc_id""".stripMargin,
+    "q_query_string" -> queryStringSql,
+    "q_query_string_index" -> queryStringSql, // index+positions path ≡ relational twin
+    "q_multi_match" -> multiMatchSql,
+    "q_multi_match_index" -> multiMatchSql, // per-field index path ≡ relational twin
+    "q_composite_agg" -> compositeSql,
+    "q_composite_index" -> compositeSql, // index match-set path ≡ relational twin
+    // benchmark set = shingles of doc_id % 101 == 0, derived identically
+    "q_decontaminate" -> {
+      val n = 5
+      val cat = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+         |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n),
+         |sh AS (SELECT DISTINCT doc_id, $cat AS shingle FROM arridx),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_hits FROM sh
+         |WHERE doc_id % 101 <> 0 AND shingle IN (SELECT shingle FROM bench)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+    // p_s = sqrt(n_min/n_s); u = md5-uniform of 'samp:<doc_id>' — sqrt and
+    // the 2^32 division are correctly rounded IEEE, so both sides agree
+    "q_source_sample" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_s)::BIGINT AS n_min FROM c)
+        |SELECT d.doc_id, d.source FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+        |WHERE cast('0x' || substr(md5('samp:' || d.doc_id), 1, 8) AS UBIGINT)::DOUBLE / 4294967296.0
+        |      < sqrt(m.n_min::DOUBLE / c.n_s::DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
+    // concat-and-chop packing manifest: global token offset in doc_id order
+    "q_seq_pack" ->
+      s"""WITH $TOK, $DL,
+         |c AS (SELECT doc_id, doclen, coalesce(sum(doclen) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset FROM dl)
+         |SELECT doc_id, tok_offset, doclen, (tok_offset // 512)::BIGINT AS win_start, ((tok_offset + doclen - 1) // 512)::BIGINT AS win_end
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -756,4 +756,35 @@ object IndexSearch {
       .select(col("query_id"), col("qterm"), col("rank"), col("term"),
         col("dist"), col("df"))
   }
+
+  /** multi_match best_fields served from per-field inverted indexes —
+    * Lucene's actual layout (one index per field, each with its own
+    * tf/df/length statistics). Each field's (query, doc) score comes from
+    * its index's postings ([[scoredMatches]]); the tie_breaker combination
+    * is the shared tail (`SearchOps.combineFields`), so the doubles match
+    * the relational twin and the oracle bit-for-bit.
+    */
+  def multiMatchTopK(spark: SparkSession, textIndexDir: String, srcIndexDir: String,
+      queries: Seq[(String, String)] = SearchOps.MultiQueries,
+      tieBreaker: Double = 0.3, k: Int = 10): DataFrame = {
+    val t = scoredMatches(spark, textIndexDir, queries)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_text"))
+    val s = scoredMatches(spark, srcIndexDir, queries)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_src"))
+    SearchOps.combineFields(t, s, tieBreaker, k)
+  }
+
+  /** Composite aggregation page-2 served from the index: match set from
+    * postings, bucket keys from doc metadata, the shared after_key page
+    * tail (`SearchOps.compositePage`).
+    */
+  def compositeAggPage(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], docsMeta: DataFrame,
+      f1: String = "lang", f2: String = "source", size: Int = 5): DataFrame = {
+    val buckets = matchedDocs(spark, indexDir, queries)
+      .join(docsMeta.select(col("doc_id"), col(f1), col(f2)), Seq("doc_id"))
+      .groupBy(col("query_id"), col(f1), col(f2))
+      .agg(count(lit(1)).as("n_docs"))
+    SearchOps.compositePage(buckets, f1, f2, size)
+  }
 }

@@ -925,4 +925,84 @@ object SearchOps {
       .select(col("m.phrase_id").as("phrase_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
       .filter(col("n_matches") > 0)
   }
+
+  /** multi_match fixtures: vocabulary terms hit the `text` field, `srcNN`
+    * tokens hit the `source` keyword field; mm3/mm4 are single-field,
+    * mm5 carries an absent term.
+    */
+  val MultiQueries: Seq[(String, String)] = Seq(
+    "mm1" -> "spark src3", "mm2" -> "src7 src12 query", "mm3" -> "hash join",
+    "mm4" -> "src0", "mm5" -> "missingzzz src5 spark")
+
+  /** multi_match, type best_fields with tie_breaker (the ES default
+    * multi-field query): each field is scored as its own BM25 corpus (own
+    * tf/df/doclen/avgdl — exactly Lucene's per-field statistics), then
+    * per (query, doc): score = best_field + tb × (sum − best_field).
+    * Relational twin over fields (`text`, `source`); the index twin scores
+    * each field from its own inverted index ([[IndexSearch.multiMatchTopK]])
+    * — one index per field is precisely Lucene's layout.
+    */
+  def multiMatchTopK(docs: DataFrame, queries: Seq[(String, String)] = MultiQueries,
+      tieBreaker: Double = 0.3, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val t = Bm25Sql.scoredFromTermTable(docs, q, "query_id")
+      .select(col("query_id"), col("doc_id"), col("score").as("s_text"))
+    val srcField = docs.select(col("doc_id"), col("source").as("text"))
+    val s = Bm25Sql.scoredFromTermTable(srcField, q, "query_id")
+      .select(col("query_id"), col("doc_id"), col("score").as("s_src"))
+    combineFields(t, s, tieBreaker, k)
+  }
+
+  /** Shared best_fields combination tail (relational + index twins): missing
+    * fields contribute 0 (BM25 addends are strictly positive, so 0 never
+    * wins the max); `mx + tb*(s1 + s2 - mx)` with the oracle's exact
+    * association.
+    */
+  private[query] def combineFields(t: DataFrame, s: DataFrame,
+      tieBreaker: Double, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    t.join(s, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("s1", coalesce(col("s_text"), lit(0.0)))
+      .withColumn("s2", coalesce(col("s_src"), lit(0.0)))
+      .withColumn("mx", greatest(col("s1"), col("s2")))
+      .withColumn("score", col("mx") + lit(tieBreaker) * (col("s1") + col("s2") - col("mx")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** ES composite aggregation: paginated enumeration of the (f1, f2) bucket
+    * key space in key order, resumable via after_key. This returns PAGE 2 —
+    * the cursor is page 1's last key and page 2 is everything strictly
+    * after it in (f1, f2) order, the exact ES resume contract (no global
+    * rank is materialized at serving time; bucket cardinality is bounded by
+    * the key-space product, so the per-query window never sees the corpus).
+    */
+  def compositeAggPage(docs: DataFrame, queries: Seq[(String, String)],
+      f1: String = "lang", f2: String = "source", size: Int = 5): DataFrame = {
+    val buckets = matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(f1), col(f2)), Seq("doc_id"))
+      .groupBy(col("query_id"), col(f1), col(f2))
+      .agg(count(lit(1)).as("n_docs"))
+    compositePage(buckets, f1, f2, size)
+  }
+
+  /** Page-2 tail shared by the relational and index twins. */
+  private[query] def compositePage(buckets: DataFrame, f1: String, f2: String,
+      size: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col(f1).asc, col(f2).asc)
+    val cursor = buckets.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === size)
+      .select(col("query_id"), col(f1).as("a1"), col(f2).as("a2"))
+    buckets.join(broadcast(cursor), Seq("query_id"))
+      .filter(col(f1) > col("a1") || (col(f1) === col("a1") && col(f2) > col("a2")))
+      .withColumn("page_rank", row_number().over(w))
+      .filter(col("page_rank") <= size)
+      .select(col("query_id"), col("page_rank"), col(f1), col(f2), col("n_docs"))
+  }
 }
