@@ -519,6 +519,12 @@ object SparkEntry {
       val src = IndexCache.forField(s, d, "source")
       IndexSearch.multiMatchTopK(s, idx, src).orderBy("query_id", "rank")
     }),
+    "q_ids_lookup" -> ((s, d) =>
+      SearchOps.idsLookup(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_ids_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.idsLookup(s, idx).orderBy("doc_id")
+    }),
     "q_composite_agg" -> ((s, d) =>
       SearchOps.compositeAggPage(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "page_rank")),
@@ -534,7 +540,9 @@ object SparkEntry {
     "q_source_sample" -> ((s, d) =>
       graft.ops.Pipeline.sourceSample(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_seq_pack" -> ((s, d) =>
-      graft.ops.Pipeline.seqPack(TextOps.documents(s, d)).orderBy("doc_id"))
+      graft.ops.Pipeline.seqPack(TextOps.documents(s, d)).orderBy("doc_id")),
+    "q_unigram_nll" -> ((s, d) =>
+      TextOps.unigramSurprisal(TextOps.documents(s, d)).orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -823,6 +831,19 @@ object SparkEntry {
        |sc AS (SELECT query_id, doc_id, greatest(v1, v2) + 0.3 * (v1 + v2 - greatest(v1, v2)) AS score FROM j),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM sc)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** ids query / GET oracle: point rows with the index docs table's stored
+    * columns (url as staged, token doclen, version 0); the absent probe id
+    * drops out on both sides.
+    */
+  private def idsSql: String = {
+    val ids = graft.query.SearchOps.IdProbes.mkString(", ")
+    s"""WITH $TOK, $DL
+       |SELECT d.doc_id, 'testdata://' || d.source || '/' || d.doc_id AS url,
+       |  dl.doclen, 0::BIGINT AS version
+       |FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+       |WHERE d.doc_id IN ($ids) ORDER BY d.doc_id""".stripMargin
   }
 
   /** Composite-aggregation page-2 oracle: bucket enumeration over
@@ -1942,6 +1963,8 @@ object SparkEntry {
     "q_query_string_index" -> queryStringSql, // index+positions path ≡ relational twin
     "q_multi_match" -> multiMatchSql,
     "q_multi_match_index" -> multiMatchSql, // per-field index path ≡ relational twin
+    "q_ids_lookup" -> idsSql,
+    "q_ids_index" -> idsSql, // docs-table point read ≡ relational twin
     "q_composite_agg" -> compositeSql,
     "q_composite_index" -> compositeSql, // index match-set path ≡ relational twin
     // benchmark set = shingles of doc_id % 101 == 0, derived identically
@@ -1965,6 +1988,17 @@ object SparkEntry {
         |WHERE cast('0x' || substr(md5('samp:' || d.doc_id), 1, 8) AS UBIGINT)::DOUBLE / 4294967296.0
         |      < sqrt(m.n_min::DOUBLE / c.n_s::DOUBLE)
         |ORDER BY doc_id""".stripMargin,
+    // unigram-LM surprisal (perplexity-style quality signal): ordered fold
+    // of tf·(−ln p) per doc over ascending terms, / doclen — the Bm25Sql
+    // summation discipline, so doubles match bit-for-bit
+    "q_unigram_nll" ->
+      s"""WITH $TOK, $TF, $DL,
+         |c AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS t FROM c)
+         |SELECT tf.doc_id, dl.doclen,
+         |  round(sum( -(tf.tf::DOUBLE * ln(c.cnt::DOUBLE / tot.t::DOUBLE)) ORDER BY tf.term ) / dl.doclen::DOUBLE, 4) AS nll
+         |FROM tf JOIN c ON tf.term = c.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // concat-and-chop packing manifest: global token offset in doc_id order
     "q_seq_pack" ->
       s"""WITH $TOK, $DL,

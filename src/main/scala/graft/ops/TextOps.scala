@@ -107,6 +107,37 @@ object TextOps {
         round(col("tfidf_raw") + lit(1.0e-9), 4).as("tfidf"))
   }
 
+  /** Unigram-LM surprisal per document — the perplexity-style quality
+    * signal (CCNet's LM filter with the corpus's own unigram model as the
+    * reference LM): nll(d) = (Σ_t tf_t · −ln p(t)) / doclen, where
+    * p(t) = corpus count / total tokens. High-surprisal docs are gibberish
+    * or OOD; low-surprisal are boilerplate. FP parity with the oracle: the
+    * per-doc sum is the ordered fold over ascending terms (the Bm25Sql
+    * pattern), division and negation are exact.
+    *
+    * Scale shape: the unigram table is vocabulary-sized (joined on uniform
+    * term keys), the scalar total rides a 1-row broadcast cross join, the
+    * per-doc fold is one aggregation — no corpus-sized shuffle beyond the
+    * tf pass the index build already does.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tf = termFreqs(docs)
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("t"))
+    val addend = -(col("tf").cast("double") * log(col("cnt").cast("double") / col("t").cast("double")))
+    tf.join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .join(doclens(docs), Seq("doc_id"))
+      .withColumn("addend", addend)
+      .groupBy("doc_id", "doclen")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("addend")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("addend")).as("nllsum"))
+      .select(col("doc_id"), col("doclen"),
+        round(col("nllsum") / col("doclen").cast("double"), 4).as("nll"))
+  }
+
   /** Exact NTILE deciles of document length — the corpus-audit report.
     *
     * Deliberately NOT a single-partition `Window.orderBy` (which would pull

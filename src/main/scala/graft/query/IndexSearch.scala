@@ -774,6 +774,20 @@ object IndexSearch {
     SearchOps.combineFields(t, s, tieBreaker, k)
   }
 
+  /** ES `ids` query / document GET served from the index docs table — the
+    * reference's Size-1 existence lookup (monstache.go:4019,4114-4116)
+    * without Elasticsearch. The docs table is bucket-partitioned and
+    * docId-sorted within partitions, so the `In(docId)` predicate prunes to
+    * a handful of row groups (PlanCheck asserts the pushdown) — a true
+    * point-read at 100 TB, no corpus access.
+    */
+  def idsLookup(spark: SparkSession, indexDir: String,
+      ids: Seq[Long] = SearchOps.IdProbes): DataFrame =
+    spark.read.parquet(s"$indexDir/docs")
+      .filter(col("docId").isin(ids: _*))
+      .select(col("docId").as("doc_id"), col("url"),
+        col("doclen").cast("long").as("doclen"), col("version"))
+
   /** Composite aggregation page-2 served from the index: match set from
     * postings, bucket keys from doc metadata, the shared after_key page
     * tail (`SearchOps.compositePage`).

@@ -926,6 +926,25 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** ids-query fixture: four live ids plus one absent (drops out on both
+    * sides) — the reference's Size-1 existence lookup shape
+    * (monstache.go:4019,4114-4116).
+    */
+  val IdProbes: Seq[Long] = Seq(0L, 7L, 101L, 499L, 12345L)
+
+  /** ES `ids` query / document GET, relational twin: point rows with the
+    * stored doc metadata (url as staged, token doclen, version 0 — the
+    * exact columns the index docs table pins).
+    */
+  def idsLookup(docs: DataFrame, ids: Seq[Long] = IdProbes): DataFrame = {
+    val dl = TextOps.doclens(docs)
+    docs.filter(col("doc_id").isin(ids: _*))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"),
+        concat(lit("testdata://"), col("source"), lit("/"), col("doc_id")).as("url"),
+        col("doclen").cast("long").as("doclen"), lit(0L).as("version"))
+  }
+
   /** multi_match fixtures: vocabulary terms hit the `text` field, `srcNN`
     * tokens hit the `source` keyword field; mm3/mm4 are single-field,
     * mm5 carries an absent term.

@@ -169,6 +169,36 @@ object PlanCheck {
       wants = Seq("PushedFilters: [In(term"),
       rejects = Seq("documents.parquet", "CartesianProduct"))
 
+    // 9e. query_string / multi_match / pipeline: the query_string index
+    // compilation touches ONLY postings + positions (corpus gone); the
+    // per-field multi_match reads two field indexes and no corpus (its
+    // full-outer field combiner may sort-merge — both sides are
+    // match-set-sized with uniform keys, the correct plan); decontamination
+    // broadcasts the benchmark shingle set, never shuffling the corpus
+    // against it
+    check("query_string via index+positions (no corpus scan)",
+      graft.query.QueryString.topKIndex(spark, idx, posDir)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    val srcIdx = graft.IndexCache.forField(spark, sfDir, "source")
+    check("multi_match via per-field indexes (no corpus scan)",
+      graft.query.IndexSearch.multiMatchTopK(spark, idx, srcIdx)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    check("ids GET pushdown into the docs table",
+      graft.query.IndexSearch.idsLookup(spark, idx)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(docId"),
+      rejects = Seq("documents.parquet"))
+    check("decontaminate broadcasts the benchmark set",
+      graft.ops.Pipeline.decontaminate(docsDf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple")),
+      wants = Seq("BroadcastHashJoin"),
+      rejects = Seq("SortMergeJoin", "CartesianProduct"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString

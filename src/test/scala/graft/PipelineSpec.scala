@@ -72,6 +72,20 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("unigramSurprisal: hand-computed nll on a tiny corpus, exact association") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(tiny).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // T=5; cnt(a)=2 cnt(b)=2 cnt(c)=1; ordered fold ascending term
+    def nl(c: Long) = -(1.0 * math.log(c.toDouble / 5.0))
+    val d1 = BigDecimal(((0.0 + 2.0 * -math.log(2.0 / 5.0)) + 1.0 * -math.log(2.0 / 5.0)) / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal(((0.0 + 1.0 * -math.log(2.0 / 5.0)) + 1.0 * -math.log(1.0 / 5.0)) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 3L, d1), (2L, 2L, d2)), s"got ${got.toSeq}; nl(1)=${nl(1)}")
+  }
+
   test("decontaminate: flagged docs really share a 5-gram with the benchmark set") {
     val hits = Pipeline.decontaminate(docs).collect()
     val sh = graft.ops.Dedup.shingles(docs, 5)
