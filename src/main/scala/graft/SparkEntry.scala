@@ -534,6 +534,22 @@ object SparkEntry {
         .orderBy("query_id", "page_rank")
     }),
 
+    // ---- the full _search request (bool + filter + hits/highlight + aggs) ----
+    "q_search_hits" -> ((s, d) =>
+      graft.query.Search.execute(TextOps.documents(s, d))._1.orderBy("query_id", "rank")),
+    "q_search_aggs" -> ((s, d) =>
+      graft.query.Search.execute(TextOps.documents(s, d))._2.orderBy("query_id", "lang")),
+    "q_search_hits_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      graft.query.Search.executeIndex(s, idx, TextOps.documents(s, d))._1
+        .orderBy("query_id", "rank")
+    }),
+    "q_search_aggs_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      graft.query.Search.executeIndex(s, idx, TextOps.documents(s, d))._2
+        .orderBy("query_id", "lang")
+    }),
+
     // ---- training-shard pipeline: decontamination, balancing, packing ----
     "q_decontaminate" -> ((s, d) =>
       graft.ops.Pipeline.decontaminate(TextOps.documents(s, d)).orderBy("doc_id")),
@@ -844,6 +860,70 @@ object SparkEntry {
        |  dl.doclen, 0::BIGINT AS version
        |FROM documents d JOIN dl ON d.doc_id = dl.doc_id
        |WHERE d.doc_id IN ($ids) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Shared candidate CTE block of the _search request oracle (generated
+    * from `Search.Fixture`): must group arity-gated, range filter, banning,
+    * must + coalesce(should, 0) — both twins' exact association.
+    */
+  private def searchCandCtes: String = {
+    val req = graft.query.Search.Fixture
+    def vals(text: String) = graft.textprep.TextPrep.tokenize(text).distinct
+      .map(t => s"('${req.queryId}','$t')").mkString(", ")
+    val nMust = graft.textprep.TextPrep.tokenize(req.must).distinct.length
+    def addend(dft: String): String =
+      s"""ln(1 + (stats.n - $dft.df + 0.5) / ($dft.df + 0.5))
+         |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))""".stripMargin
+    s"""qm(query_id, term) AS (VALUES ${vals(req.must)}),
+       |qsh(query_id, term) AS (VALUES ${vals(req.should)}),
+       |qb(query_id, term) AS (VALUES ${vals(req.mustNot)}),
+       |dftm AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qm) GROUP BY 1),
+       |dfts AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM qsh) GROUP BY 1),
+       |sm AS (SELECT qm.query_id, tf.doc_id,
+       |  sum( ${addend("dftm")}
+       |       ORDER BY qm.term ) AS must_score, count(*)::BIGINT AS must_matched
+       |  FROM qm JOIN tf ON qm.term = tf.term JOIN dftm ON qm.term = dftm.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |ss AS (SELECT qsh.query_id, tf.doc_id,
+       |  sum( ${addend("dfts")}
+       |       ORDER BY qsh.term ) AS should_score
+       |  FROM qsh JOIN tf ON qsh.term = tf.term JOIN dfts ON qsh.term = dfts.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2),
+       |bd AS (SELECT DISTINCT qb.query_id, tf.doc_id FROM qb JOIN tf ON qb.term = tf.term),
+       |cand AS (SELECT sm.query_id, sm.doc_id, sm.must_score + coalesce(ss.should_score, 0.0) AS score
+       |  FROM sm JOIN documents d ON sm.doc_id = d.doc_id
+       |  LEFT JOIN ss ON ss.query_id = sm.query_id AND ss.doc_id = sm.doc_id
+       |  WHERE sm.must_matched = $nMust AND d.${req.rangeField} BETWEEN ${req.rangeLo} AND ${req.rangeHi}
+       |    AND NOT EXISTS (SELECT 1 FROM bd WHERE bd.query_id = sm.query_id AND bd.doc_id = sm.doc_id))""".stripMargin
+  }
+
+  /** _search hits oracle: ranked candidates + the highlight fetch phase
+    * (snippetSql's window over the must ∪ should term set).
+    */
+  private def searchHitsSql: String = {
+    val req = graft.query.Search.Fixture
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |$searchCandCtes,
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM cand),
+       |top AS (SELECT * FROM ranked WHERE rank <= ${req.k}),
+       |qt AS (SELECT query_id, list(term ORDER BY term) AS qterms FROM (SELECT * FROM qm UNION SELECT * FROM qsh) u GROUP BY 1),
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |snip AS (
+       |  SELECT t.query_id, t.rank, t.doc_id, t.score, arrs.toks,
+       |    greatest(1, list_min(list_filter(list_transform(qt.qterms, x -> list_position(arrs.toks, x)), p -> p IS NOT NULL AND p > 0)) - 3) AS st
+       |  FROM top t JOIN arrs ON t.doc_id = arrs.doc_id JOIN qt ON t.query_id = qt.query_id)
+       |SELECT query_id, rank, doc_id, score, array_to_string(toks[st:(st+7)], ' ') AS snippet
+       |FROM snip ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** _search aggregations oracle: the terms agg over the FULL filtered
+    * match set (never just the returned page).
+    */
+  private def searchAggsSql: String = {
+    val req = graft.query.Search.Fixture
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |$searchCandCtes
+       |SELECT cand.query_id, d.${req.aggField}, count(*)::BIGINT AS n_docs
+       |FROM cand JOIN documents d ON cand.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Composite-aggregation page-2 oracle: bucket enumeration over
@@ -1965,6 +2045,10 @@ object SparkEntry {
     "q_multi_match_index" -> multiMatchSql, // per-field index path ≡ relational twin
     "q_ids_lookup" -> idsSql,
     "q_ids_index" -> idsSql, // docs-table point read ≡ relational twin
+    "q_search_hits" -> searchHitsSql,
+    "q_search_hits_index" -> searchHitsSql, // postings+fetch path ≡ relational twin
+    "q_search_aggs" -> searchAggsSql,
+    "q_search_aggs_index" -> searchAggsSql, // index match-set path ≡ relational twin
     "q_composite_agg" -> compositeSql,
     "q_composite_index" -> compositeSql, // index match-set path ≡ relational twin
     // benchmark set = shingles of doc_id % 101 == 0, derived identically

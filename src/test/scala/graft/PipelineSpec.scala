@@ -72,6 +72,26 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("_search request: index twin equals relational; aggs see all matches") {
+    val (relHits, relAggs) = graft.query.Search.execute(docs)
+    val idx = IndexCache.forDocuments(spark, sf)
+    val (ixHits, ixAggs) = graft.query.Search.executeIndex(spark, idx, docs)
+    def rows(df: org.apache.spark.sql.DataFrame, keys: String*) =
+      df.orderBy(keys.head, keys.tail: _*).collect().map(_.toSeq).toSeq
+    assert(rows(relHits, "query_id", "rank").nonEmpty)
+    assert(rows(relHits, "query_id", "rank") == rows(ixHits, "query_id", "rank"))
+    assert(rows(relAggs, "query_id", "lang") == rows(ixAggs, "query_id", "lang"))
+    // the agg totals cover the full filtered match set, not just the page
+    val aggTotal = relAggs.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect()(0).getLong(0)
+    assert(aggTotal >= relHits.count())
+    // every hit is inside the range filter and free of the banned term
+    val hitIds = relHits.collect().map(_.getLong(2)).toSet
+    val okIds = docs.filter(col("n_chars").between(150, 400))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(okIds))
+  }
+
   test("unigramSurprisal: hand-computed nll on a tiny corpus, exact association") {
     import spark.implicits._
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
