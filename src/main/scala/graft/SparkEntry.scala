@@ -519,6 +519,13 @@ object SparkEntry {
       val src = IndexCache.forField(s, d, "source")
       IndexSearch.multiMatchTopK(s, idx, src).orderBy("query_id", "rank")
     }),
+    "q_percolate" -> ((s, d) =>
+      SearchOps.percolate(TextOps.documents(s, d)).orderBy("doc_id", "query_id")),
+    "q_ann_filtered" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.filteredBruteTopK(e, e.filter(col("vec_id") < 3),
+        col("label") === 1, k = 10).orderBy("query_id", "rank")
+    }),
     "q_ids_lookup" -> ((s, d) =>
       SearchOps.idsLookup(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_ids_index" -> ((s, d) => {
@@ -847,6 +854,23 @@ object SparkEntry {
        |sc AS (SELECT query_id, doc_id, greatest(v1, v2) + 0.3 * (v1 + v2 - greatest(v1, v2)) AS score FROM j),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM sc)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Percolate oracle: one SELECT per stored query, generated from the
+    * same fixture both sides compile (must-all + not-none over the doc's
+    * token array).
+    */
+  private def percolateSql: String = {
+    val parts = graft.query.SearchOps.StoredQueries.map { case (qid, must, not) =>
+      val ms = graft.textprep.TextPrep.tokenize(must).distinct.toSeq
+      val ns = graft.textprep.TextPrep.tokenize(not).distinct.toSeq
+      val conds = (ms.map(t => s"list_contains(toks, '$t')") ++
+        ns.map(t => s"NOT list_contains(toks, '$t')")).mkString(" AND ")
+      s"SELECT doc_id, '$qid' AS query_id FROM arrs WHERE $conds"
+    }
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+       |${parts.mkString("\nUNION ALL ")}
+       |ORDER BY doc_id, query_id""".stripMargin
   }
 
   /** ids query / GET oracle: point rows with the index docs table's stored
@@ -2049,6 +2073,24 @@ object SparkEntry {
     "q_search_hits_index" -> searchHitsSql, // postings+fetch path ≡ relational twin
     "q_search_aggs" -> searchAggsSql,
     "q_search_aggs_index" -> searchAggsSql, // index match-set path ≡ relational twin
+    "q_percolate" -> percolateSql,
+    // filtered kNN: the ann_cosine oracle with pre-filter candidacy (label=1)
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings WHERE label = 1),
+        |pairs AS (
+        |  SELECT q.query_id, ev.vec_id,
+        |    sum((ev.embedding[ev.i]::DOUBLE) * (q.qv[ev.i]::DOUBLE) ORDER BY ev.i) AS dp,
+        |    sum((ev.embedding[ev.i]::DOUBLE) * (ev.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS na,
+        |    sum((q.qv[ev.i]::DOUBLE) * (q.qv[ev.i]::DOUBLE) ORDER BY ev.i) AS nq
+        |  FROM ev CROSS JOIN q
+        |  WHERE ev.vec_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, vec_id, round(dp / (sqrt(na) * sqrt(nq)), 4) + 0.0 AS cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_composite_agg" -> compositeSql,
     "q_composite_index" -> compositeSql, // index match-set path ≡ relational twin
     // benchmark set = shingles of doc_id % 101 == 0, derived identically

@@ -47,6 +47,19 @@ object Similarity {
         (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
   }
 
+  /** Filtered kNN (the ES 8 `knn` + `filter` request): exact cosine top-k
+    * restricted to candidates satisfying a metadata predicate. The filter
+    * gates CANDIDACY before ranking (pre-filter semantics — ES's kNN filter,
+    * which guarantees k results from the allowed set, unlike post-filtering
+    * a global top-k); scores are untouched. The predicate pushes down to
+    * the candidate scan; everything else is [[bruteForceTopK]]'s shape. For
+    * the IVF serving path compose the same predicate before bucketing —
+    * bucket-local rankings stay exact within probed cells.
+    */
+  def filteredBruteTopK(corpus: DataFrame, queries: DataFrame,
+      predicate: Column, k: Int = 10): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, k)
+
   /** Collected centroid seeds: the C lowest vec_ids (deterministic). C is
     * small and bounded → a driver-side array is the broadcast-literal side
     * of every assignment.

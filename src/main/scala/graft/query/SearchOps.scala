@@ -926,6 +926,42 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** Percolator stored queries (query_id, must, must_not) — the BoolQueries
+    * triples minus the should group (percolation is match-only, no
+    * scoring). b5 carries an absent must term → matches nothing.
+    */
+  val StoredQueries: Seq[(String, String, String)] =
+    BoolQueries.map(q => (q._1, q._2, q._4))
+
+  /** ES percolate (reverse search): stored queries live in the index and
+    * incoming DOCUMENTS are matched against them — the alerting/routing
+    * primitive. A doc matches a stored query iff it contains every must
+    * term and none of the must_not terms.
+    *
+    * Scale shape: the stored-query set compiles to broadcast literal
+    * predicates over the doc's own token array (the [[phraseCounts]]
+    * pattern) — one narrow map over the corpus scan, no shuffle, no join;
+    * at 100 TB of incoming docs this is the best possible plan. ES evaluates
+    * percolator queries per-document the same way.
+    */
+  def percolate(docs: DataFrame,
+      stored: Seq[(String, String, String)] = StoredQueries): DataFrame = {
+    val toks = col("toks")
+    val perQ = stored.map { case (qid, must, not) =>
+      val ms = TextPrep.tokenize(must).distinct.toSeq
+      val ns = TextPrep.tokenize(not).distinct.toSeq
+      val m = (ms.map(t => array_contains(toks, t)) ++
+        ns.map(t => !array_contains(toks, t))).reduce(_ && _)
+      struct(lit(qid).as("query_id"), m.as("m"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(perQ: _*)).as("q"))
+      .filter(col("q.m"))
+      .select(col("doc_id"), col("q.query_id").as("query_id"))
+  }
+
   /** ids-query fixture: four live ids plus one absent (drops out on both
     * sides) — the reference's Size-1 existence lookup shape
     * (monstache.go:4019,4114-4116).

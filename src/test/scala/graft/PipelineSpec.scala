@@ -72,6 +72,34 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("percolate: matches are exactly the must-all/not-none docs; b5 matches nothing") {
+    val got = SearchOps.percolate(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.nonEmpty && !got.exists(_._2 == "b5"))
+    // cross-check one query against the token table
+    val toks = TextOps.tokens(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val b1 = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => toks.get(id).exists(t => t.contains("spark") && !t.contains("slow")))
+      .toSet
+    assert(got.filter(_._2 == "b1").map(_._1) == b1)
+  }
+
+  test("filtered kNN: every hit satisfies the filter; cosines match the unfiltered scores") {
+    import graft.ops.Similarity
+    val e = Similarity.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+    val hits = Similarity.filteredBruteTopK(e, q, col("label") === 1, k = 10).collect()
+    val allowed = e.filter(col("label") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.forall(h => allowed.contains(h.getLong(2))))
+    // pre-filter semantics: the scores agree with the full exact ranking
+    val full = Similarity.bruteForceTopK(e, q, k = Int.MaxValue - 1)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    hits.foreach(h => assert(full((h.getLong(0), h.getLong(2))) == h.getDouble(3)))
+  }
+
   test("_search request: index twin equals relational; aggs see all matches") {
     val (relHits, relAggs) = graft.query.Search.execute(docs)
     val idx = IndexCache.forDocuments(spark, sf)
