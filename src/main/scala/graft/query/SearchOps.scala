@@ -945,7 +945,8 @@ object SearchOps {
     * percolator queries per-document the same way.
     */
   def percolate(docs: DataFrame,
-      stored: Seq[(String, String, String)] = StoredQueries): DataFrame = {
+      stored: Seq[(String, String, String)] = StoredQueries,
+      keyCol: String = "doc_id"): DataFrame = {
     val toks = col("toks")
     val perQ = stored.map { case (qid, must, not) =>
       val ms = TextPrep.tokenize(must).distinct.toSeq
@@ -955,11 +956,11 @@ object SearchOps {
       struct(lit(qid).as("query_id"), m.as("m"))
     }
     docs
-      .select(col("doc_id"),
+      .select(col(keyCol),
         filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
-      .select(col("doc_id"), explode(array(perQ: _*)).as("q"))
+      .select(col(keyCol), explode(array(perQ: _*)).as("q"))
       .filter(col("q.m"))
-      .select(col("doc_id"), col("q.query_id").as("query_id"))
+      .select(col(keyCol), col("q.query_id").as("query_id"))
   }
 
   /** ids-query fixture: four live ids plus one absent (drops out on both

@@ -76,4 +76,17 @@ object StreamOps {
           }
       }
   }
+
+  /** Continuous percolation — the alerting/routing pipeline: every arriving
+    * page is matched against the stored query set and emits (url, query_id)
+    * alert rows. This is what a reference user percolates change events
+    * for (monstache's change stream → ES percolator); here the SAME
+    * compiled predicates as the batch operator run inside the stream —
+    * entirely narrow (broadcast literals over each page's own token array),
+    * no state, no shuffle, so it composes with any source/sink and batch ≡
+    * streaming semantics hold by construction (StreamOpsSpec asserts it).
+    */
+  def percolateStream(pages: Dataset[PageDoc],
+      stored: Seq[(String, String, String)] = graft.query.SearchOps.StoredQueries): DataFrame =
+    graft.query.SearchOps.percolate(pages.toDF(), stored, keyCol = "url")
 }

@@ -69,4 +69,34 @@ class StreamOpsSpec extends SparkSpecBase {
         "exactly one first-seen and one recrawl, replays collapsed")
     } finally q.stop()
   }
+
+  test("continuous percolation: streaming alerts == batch percolate on the same pages") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val pages = Seq(
+      page("https://example.org/site0/p1", T0 + 1, "spark makes the query fast"),
+      page("https://example.org/site0/p2", T0 + 2, "spark is slow here"),
+      page("https://example.org/site1/p3", T0 + 3, "hash join versus merge sort"),
+      page("https://example.org/site1/p4", T0 + 4, "nothing relevant"))
+    val mem = MemoryStream[PageDoc]
+    val out = StreamOps.percolateStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("perc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(pages.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(pages.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("perc").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val batch = graft.query.SearchOps
+        .percolate(spark.createDataset(pages).toDF(), keyCol = "url")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamed == batch, s"streaming $streamed != batch $batch")
+      // semantics spot-check: p1 matches b1 (spark, no slow), p2 does not
+      assert(streamed.contains(("https://example.org/site0/p1", "b1")))
+      assert(!streamed.exists(t => t._1.endsWith("/p2") && t._2 == "b1"))
+      assert(streamed.contains(("https://example.org/site1/p3", "b2")))
+    } finally q.stop()
+  }
 }
