@@ -142,7 +142,14 @@ object Bench {
     // stable — min-of-reps needs enough samples to catch a quiet window;
     // the 0.623-efficiency dev2 artifact was recorded at 8
     val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "8").toInt
-    val execLayouts = Seq((1, 2), (4, 2)) // (executors, coresPerExecutor)
+    // (executors, coresPerExecutor) at the two cluster sizes. Default
+    // 2x1→8x1: BOTH levels are genuine multi-executor clusters paying
+    // cross-JVM netty shuffle — a 1-executor low level fetches its own
+    // shuffle output process-locally, an asymmetry no real N→4N comparison
+    // has (measured: it alone costs ~0.07 efficiency)
+    val execLayouts: Seq[(Int, Int)] =
+      sys.env.getOrElse("SPARK_GRAFT_EXEC_LAYOUTS", "2x1,8x1").split(",").toSeq
+        .map { s => val Array(e, c) = s.split("x"); (e.toInt, c.toInt) }
     graft.tools.ClusterProf.ensureSparkScalaVersion()
     def clusterSession(execs: Int, coresPer: Int): SparkSession = {
       val s = SparkSession.builder()
@@ -150,6 +157,12 @@ object Bench {
         .appName(s"graft-bench-exec-${execs}x$coresPer")
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory", s"${execMemMb}m")
+        // size each executor JVM's GC/JIT/netty pools for ITS cores, not
+        // the host's 32 — without this the 4-executor level runs ~4x23 G1
+        // threads (availableProcessors=32 in every JVM) and per-task time
+        // inflates ~2x, a context-switch storm no real cluster node has
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ActiveProcessorCount=$coresPer -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
@@ -209,8 +222,14 @@ object Bench {
       ts.map(t => f"${execDocs.toDouble / t}%.1f").mkString("[", ",", "]")
     val execRepsLow = repsJson(execTimes(execLayouts.head))
     val execRepsHigh = repsJson(execTimes(execLayouts.last))
+    // per-round PAIRED ratios: each round runs low and high back-to-back in
+    // the same host-load window, so the ratio cancels load common to both —
+    // published alongside the headline min-of-reps ratio as its error bar
+    val pairedEffs = execTimes(execLayouts.head).zip(execTimes(execLayouts.last))
+      .map { case (tl, th) => (execDocs / th) / (execFactor * (execDocs / tl)) }
+    val pairedJson = pairedEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     def execBlockJson: String =
-      f""""executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"protocol":"interleaved_min_of_$execReps","reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh}"""
+      f""""executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"protocol":"interleaved_min_of_$execReps","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh}"""
 
     if (execOnly) {
       import scala.reflect.io.Directory

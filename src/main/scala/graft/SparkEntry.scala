@@ -565,7 +565,47 @@ object SparkEntry {
     "q_seq_pack" -> ((s, d) =>
       graft.ops.Pipeline.seqPack(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_unigram_nll" -> ((s, d) =>
-      TextOps.unigramSurprisal(TextOps.documents(s, d)).orderBy("doc_id"))
+      TextOps.unigramSurprisal(TextOps.documents(s, d)).orderBy("doc_id")),
+
+    // ---- boosting / range + filters aggs / _count / _termvectors / _explain ----
+    "q_boosting" -> ((s, d) =>
+      SearchOps.boostingTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_boosting_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.boostingTopK(s, idx, RefQueries.set).orderBy("query_id", "rank")
+    }),
+    "q_range_agg" -> ((s, d) =>
+      SearchOps.rangeAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "bucket")),
+    "q_range_agg_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.rangeAgg(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "bucket")
+    }),
+    "q_filters_agg" -> ((s, d) =>
+      SearchOps.filtersAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "filter_id")),
+    "q_filters_agg_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.filtersAgg(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "filter_id")
+    }),
+    "q_count" -> ((s, d) =>
+      SearchOps.countMatches(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_count_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.countMatches(s, idx, RefQueries.set).orderBy("query_id")
+    }),
+    "q_term_vectors" -> ((s, d) =>
+      SearchOps.termVectors(TextOps.documents(s, d)).orderBy("doc_id", "term")),
+    "q_explain" -> ((s, d) =>
+      SearchOps.explainScore(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "term")),
+    "q_explain_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.explainScore(s, idx, RefQueries.set).orderBy("query_id", "term")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -650,6 +690,81 @@ object SparkEntry {
     s"""WITH $scoredCtes,
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY (mx + 0.3*(score - mx)) DESC, doc_id ASC)::INT AS rank, doc_id, round(mx + 0.3*(score - mx), 4) AS score FROM scored)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** boosting query: positive BM25 ranking, docs containing the negative
+    * term demoted ×0.5 (ES negative_boost — demote, never exclude).
+    */
+  private def boostingSql: String =
+    s"""WITH $scoredCtes,
+       |neg AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('${graft.query.SearchOps.BoostingNegative}')),
+       |adj AS (SELECT s.query_id, s.doc_id, CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.5 ELSE s.score END AS bscore FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY bscore DESC, doc_id ASC)::INT AS rank, doc_id, round(bscore, 4) AS score FROM adj)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** range aggregation: matched docs into explicit ES-keyed buckets of
+    * n_chars (*-150 / 150-400 / 400-*; from-inclusive, to-exclusive).
+    */
+  private def rangeAggSql: String =
+    s"""WITH $scoredCtes,
+       |m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+       |j AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id)
+       |SELECT query_id, CASE WHEN n_chars < 150 THEN '*-150' WHEN n_chars < 400 THEN '150-400' ELSE '400-*' END AS bucket, count(*)::BIGINT AS n_docs
+       |FROM j GROUP BY 1, 2 ORDER BY query_id, bucket""".stripMargin
+
+  /** filters aggregation: named predicate buckets counted over each query's
+    * match set in one conditional-sum pass.
+    */
+  private def filtersAggSql: String =
+    s"""WITH $scoredCtes,
+       |m AS (SELECT DISTINCT query_id, doc_id FROM scored),
+       |j AS (SELECT m.query_id, d.lang, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |a AS (SELECT query_id,
+       |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+       |  sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS lng,
+       |  sum(CASE WHEN lang = 'zh' AND n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS zh_short
+       |  FROM j GROUP BY 1)
+       |SELECT query_id, f.filter_id,
+       |  CASE f.filter_id WHEN 'en' THEN en WHEN 'long' THEN lng ELSE zh_short END AS n_docs
+       |FROM a CROSS JOIN (VALUES ('en'), ('long'), ('zh_short')) f(filter_id)
+       |ORDER BY query_id, filter_id""".stripMargin
+
+  /** _count: total match-any hits per query. */
+  private def countSql: String =
+    s"""WITH $scoredCtes
+       |SELECT query_id, count(*)::BIGINT AS total FROM scored GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  /** _termvectors with term_statistics for the probed ids: per-doc tf from
+    * re-analysis + corpus-wide df restricted to the probed docs' terms.
+    */
+  private def termVectorsSql: String = {
+    val ids = graft.query.SearchOps.IdProbes.mkString(", ")
+    s"""WITH $TOK, $TF,
+       |probe AS (SELECT doc_id, term, tf FROM tf WHERE doc_id IN ($ids)),
+       |dfp AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT DISTINCT term FROM probe) GROUP BY 1)
+       |SELECT p.doc_id, p.term, p.tf, dfp.df FROM probe p JOIN dfp USING (term) ORDER BY doc_id, term""".stripMargin
+  }
+
+  /** _explain: per-term BM25 operand breakdown (tf, df, doclen, idf,
+    * addend) for each query's rank-1 doc — the addends are the scored
+    * CTE's own operands, so they sum to the ranked score bit-exactly.
+    */
+  private def explainSql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |rows0 AS (
+       |  SELECT q.query_id, tf.doc_id, q.term, tf.tf, dft.df, dl.doclen,
+       |    ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf,
+       |    ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE)))) AS addend
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, sum(addend ORDER BY term) AS score FROM rows0 GROUP BY 1, 2),
+       |top1 AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk FROM sc) WHERE rnk = 1)
+       |SELECT r.query_id, r.doc_id, r.term, r.tf, r.df, r.doclen, round(r.idf, 4) AS idf, round(r.addend, 4) AS addend
+       |FROM rows0 r JOIN top1 USING (query_id, doc_id) ORDER BY query_id, term""".stripMargin
 
   /** range filter context: ranking restricted to docs with n_chars in
     * [RangeLo, RangeHi]; scoring stays corpus-wide (ES filter semantics).
@@ -2125,6 +2240,17 @@ object SparkEntry {
          |  round(sum( -(tf.tf::DOUBLE * ln(c.cnt::DOUBLE / tot.t::DOUBLE)) ORDER BY tf.term ) / dl.doclen::DOUBLE, 4) AS nll
          |FROM tf JOIN c ON tf.term = c.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_boosting" -> boostingSql,
+    "q_boosting_index" -> boostingSql, // postings-served demote set ≡ relational twin
+    "q_range_agg" -> rangeAggSql,
+    "q_range_agg_index" -> rangeAggSql, // index match-set path ≡ relational twin
+    "q_filters_agg" -> filtersAggSql,
+    "q_filters_agg_index" -> filtersAggSql, // index match-set path ≡ relational twin
+    "q_count" -> countSql,
+    "q_count_index" -> countSql, // docIds-only traversal ≡ relational twin
+    "q_term_vectors" -> termVectorsSql,
+    "q_explain" -> explainSql,
+    "q_explain_index" -> explainSql, // block-pruned postings decode ≡ relational twin
     // concat-and-chop packing manifest: global token offset in doc_id order
     "q_seq_pack" ->
       s"""WITH $TOK, $DL,

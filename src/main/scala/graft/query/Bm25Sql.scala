@@ -54,7 +54,28 @@ object Bm25Sql {
     * multiplied by it (ES query-time boosting) — `(idf*partial)*boost`,
     * same association as the oracle's `ln(...) * (...) * boost`.
     */
-  def scoredFromTermTable(docs: DataFrame, q: DataFrame, qidCol: String): DataFrame = {
+  def scoredFromTermTable(docs: DataFrame, q: DataFrame, qidCol: String): DataFrame =
+    termRowsFromTermTable(docs, q)
+      .groupBy(qidCol, "doc_id")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("addend")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("addend")).as("score"),
+        // the largest single-term contribution — dis_max's pivot (max is
+        // order-free and exact in IEEE, so no ordered fold needed)
+        max(col("addend")).as("max_addend"),
+        count(lit(1)).as("matched"))
+
+  /** Per-(query, doc, term) BM25 operand rows — exactly the addends
+    * `scoredFromTermTable` folds, kept un-aggregated. This is the raw
+    * material of the `_explain` API (per-term score breakdown) and the
+    * single place the scoring expression lives: literal constants 2.2,
+    * 1.2, 0.25, 0.75 with the same parse/parens as Bm25.scala and the SQL
+    * oracle. Emits (q's id column, doc_id, term, tf, df, doclen, idf,
+    * addend).
+    */
+  def termRowsFromTermTable(docs: DataFrame, q: DataFrame): DataFrame = {
     val tok = TextOps.tokens(docs)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("doclen"))
@@ -66,8 +87,6 @@ object Bm25Sql {
     val dft = tf.join(q.select("term").distinct(), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
-    // addend = idf * partial, with literal constants matching Bm25.scala and
-    // the SQL oracle exactly (2.2, 1.2, 0.25, 0.75 — same parse, same parens)
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val partial = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(avgdl)))
@@ -77,16 +96,7 @@ object Bm25Sql {
     q.join(tf, Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
+      .withColumn("idf", idf)
       .withColumn("addend", addend)
-      .groupBy(qidCol, "doc_id")
-      .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("term"), col("addend")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("addend")).as("score"),
-        // the largest single-term contribution — dis_max's pivot (max is
-        // order-free and exact in IEEE, so no ordered fold needed)
-        max(col("addend")).as("max_addend"),
-        count(lit(1)).as("matched"))
   }
 }

@@ -659,6 +659,100 @@ object IndexSearch {
       .select(col("queryId").as("query_id"), col("rank"),
         col("docId").as("doc_id"), round(col("score"), 4).as("score"))
 
+  /** ES `boosting` query served from the index: positive BM25 from
+    * postings ([[scoredMatches]]), the negative query's demote set from its
+    * own term-pruned match traversal ([[matchedDocs]]) — then the shared
+    * demote+rerank tail. Both legs read postings only.
+    */
+  def boostingTopK(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], negative: String = SearchOps.BoostingNegative,
+      negBoost: Double = 0.5, k: Int = 10): DataFrame = {
+    val neg = matchedDocs(spark, indexDir, Seq(("neg", negative)))
+      .select("doc_id").distinct().withColumn("is_neg", lit(1))
+    SearchOps.boostingFrom(scoredMatches(spark, indexDir, queries), neg, negBoost, k)
+  }
+
+  /** ES `range` aggregation served from the index: match set from postings,
+    * bucket edges applied to the doc-values sidecar — shared tail with the
+    * relational twin.
+    */
+  def rangeAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame, field: String = "n_chars",
+      edges: Seq[Long] = SearchOps.RangeAggEdges): DataFrame =
+    SearchOps.rangeAggFrom(matchedDocs(spark, indexDir, queries), docsMeta, field, edges)
+
+  /** ES `filters` aggregation served from the index: one conditional-sum
+    * pass over the match set joined to the doc-values sidecar.
+    */
+  def filtersAgg(spark: SparkSession, indexDir: String, queries: Seq[(String, String)],
+      docsMeta: DataFrame,
+      filters: Seq[(String, org.apache.spark.sql.Column)] = SearchOps.NamedFilters): DataFrame =
+    SearchOps.filtersAggFrom(matchedDocs(spark, indexDir, queries), docsMeta, filters)
+
+  /** `_count` served from the index: the match-any traversal without
+    * scoring — per bucket a docIds-only block decode, tombstone-aware.
+    */
+  def countMatches(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)]): DataFrame =
+    matchedDocs(spark, indexDir, queries).groupBy("query_id").agg(count(lit(1)).as("total"))
+
+  /** `_explain` served from the index: the top-1 doc per query comes from
+    * the WAND ranking; its per-term operands (tf, doclen) are decoded ONLY
+    * from posting blocks whose [firstDocId, lastDocId] span a target doc —
+    * O(query terms × 1 block) decodes, everything else is skipped via the
+    * block metadata — df/N/avgdl from the stats sidecars. The expressions
+    * are the scorer's own doubles, so each breakdown sums bit-exactly to
+    * the hit's score. The hit cursor (≤ queries × 1 rows) is driver-held,
+    * like search_after's — that IS the API shape, not a collect-the-data
+    * antipattern.
+    */
+  def explainScore(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val qTerms = queries.map { case (qid, text) =>
+      qid -> TextPrep.tokenize(text).distinct.sorted
+    }
+    val allTerms = qTerms.flatMap(_._2).distinct
+    val stats = QueryEngine.loadStats(spark, indexDir)
+    val tstats = QueryEngine.loadTermStats(spark, indexDir, allTerms)
+    val top1 = QueryEngine.topK(spark, indexDir, queries, 1).toDF()
+      .select(col("queryId").as("query_id"), col("docId").as("doc_id"))
+    val targetDocs: Set[Long] = top1.select("doc_id").as[Long].collect().toSet
+    val tb = spark.sparkContext.broadcast(targetDocs)
+
+    val rows = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap { tp =>
+        tp.blocks.iterator
+          .filter(b => tb.value.exists(d => d >= b.firstDocId && d <= b.lastDocId))
+          .flatMap { b =>
+            val ds = Blocks.decodeDocIds(b)
+            val tfs = Blocks.decodeTfs(b)
+            val dls = Blocks.decodeDoclens(b)
+            ds.indices.iterator.collect {
+              case i if tb.value.contains(ds(i)) =>
+                (tp.term, ds(i), tfs(i).toLong, dls(i).toLong)
+            }
+          }
+      }.toDF("term", "doc_id", "tf", "doclen")
+
+    val q = qTerms.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val dfm = tstats.map { case (t, s) => (t, s.df) }.toSeq.toDF("term", "df")
+    val idf = log(lit(1.0) + (lit(stats.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val partial = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(stats.avgdl)))
+    SearchOps.explainSelect(
+      rows.join(broadcast(q), Seq("term"))
+        .join(broadcast(top1), Seq("query_id", "doc_id"), "left_semi")
+        .join(broadcast(dfm), Seq("term"))
+        .withColumn("idf", idf)
+        .withColumn("addend", idf * partial))
+  }
+
   /** ES `rescore` served from the index: the retrieval window comes from
     * WAND over postings, the match_phrase secondary from the positional
     * sidecar — the two index structures composed the way ES composes query

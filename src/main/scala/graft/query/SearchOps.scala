@@ -1048,6 +1048,156 @@ object SearchOps {
     compositePage(buckets, f1, f2, size)
   }
 
+  /** boosting-query fixture: the negative query (docs matching it are
+    * demoted, never excluded — the ES `boosting` / `negative_boost`
+    * semantics, vs must_not's hard exclusion).
+    */
+  val BoostingNegative = "slow"
+
+  /** ES `boosting` query: rank by the positive query's BM25, multiplying
+    * the score by `negBoost` for docs matching ANY negative-query term.
+    * The negative side is one narrow distinct match set (a left join +
+    * conditional multiply) — no second scoring pass, no driver loop; at
+    * scale the join keys are uniform doc_ids.
+    */
+  def boostingTopK(docs: DataFrame, queries: Seq[(String, String)],
+      negative: String = BoostingNegative, negBoost: Double = 0.5,
+      k: Int = 10): DataFrame = {
+    val negTerms = TextPrep.tokenize(negative).distinct
+    val neg = TextOps.tokens(docs).filter(col("term").isin(negTerms: _*))
+      .select("doc_id").distinct().withColumn("is_neg", lit(1))
+    boostingFrom(Bm25Sql.scoredDocs(docs, queries), neg, negBoost, k)
+  }
+
+  /** The demote+rerank tail shared by the relational and index twins. */
+  private[query] def boostingFrom(scored: DataFrame, neg: DataFrame,
+      negBoost: Double, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("bscore").desc, col("doc_id").asc)
+    scored
+      .join(neg, Seq("doc_id"), "left")
+      .withColumn("bscore",
+        when(col("is_neg").isNotNull, col("score") * lit(negBoost)).otherwise(col("score")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("bscore"), 4).as("score"))
+  }
+
+  /** range-aggregation fixture: explicit bucket edges over n_chars
+    * (*-150, 150-400, 400-*; ES from-inclusive / to-exclusive).
+    */
+  val RangeAggEdges: Seq[Long] = Seq(150L, 400L)
+
+  /** ES `range` aggregation: matched docs counted into explicit
+    * [from, to) buckets of a numeric doc-values field, ES bucket-key
+    * labels (`*-150`, `150-400`, `400-*`). One uniform-key join + one
+    * aggregation; bucket assignment is a codegen'd CASE chain.
+    */
+  def rangeAgg(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars", edges: Seq[Long] = RangeAggEdges): DataFrame =
+    rangeAggFrom(matchedSet(docs, queries), docs, field, edges)
+
+  private[query] def rangeAggFrom(matched: DataFrame, docsMeta: DataFrame,
+      field: String, edges: Seq[Long]): DataFrame =
+    matched
+      .join(docsMeta.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("bucket", rangeBucket(col(field), edges))
+      .groupBy("query_id", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+
+  private def rangeBucket(f: Column, edges: Seq[Long]): Column = {
+    val first = when(f < edges.head, lit(s"*-${edges.head}"))
+    edges.zip(edges.tail).foldLeft(first) { case (acc, (lo, hi)) =>
+      acc.when(f < hi, lit(s"$lo-$hi"))
+    }.otherwise(lit(s"${edges.last}-*"))
+  }
+
+  /** filters-aggregation fixture: named predicate buckets over the
+    * doc-values columns (an ES `filters` agg's keyed filters).
+    */
+  val NamedFilters: Seq[(String, Column)] = Seq(
+    "en" -> (col("lang") === "en"),
+    "long" -> (col("n_chars") >= 300L),
+    "zh_short" -> (col("lang") === "zh" && col("n_chars") < 200L))
+
+  /** ES `filters` aggregation: one named bucket per predicate, each
+    * counting the query's matched docs satisfying it. A SINGLE pass of
+    * conditional sums (not one job per filter), unpivoted to
+    * (query_id, filter_id, n_docs) rows.
+    */
+  def filtersAgg(docs: DataFrame, queries: Seq[(String, String)],
+      filters: Seq[(String, Column)] = NamedFilters): DataFrame =
+    filtersAggFrom(matchedSet(docs, queries), docs, filters)
+
+  private[query] def filtersAggFrom(matched: DataFrame, docsMeta: DataFrame,
+      filters: Seq[(String, Column)]): DataFrame = {
+    val aggs = filters.map { case (nm, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(nm)
+    }
+    matched
+      .join(docsMeta.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("query_id"), explode(array(filters.map { case (nm, _) =>
+        struct(lit(nm).as("filter_id"), col(nm).as("n_docs"))
+      }: _*)).as("fb"))
+      .select(col("query_id"), col("fb.filter_id").as("filter_id"),
+        col("fb.n_docs").as("n_docs"))
+  }
+
+  /** `_count` API: total hits (match-any, live docs) per query — the
+    * retrieval scan without scoring or ranking.
+    */
+  def countMatches(docs: DataFrame, queries: Seq[(String, String)]): DataFrame =
+    matchedSet(docs, queries).groupBy("query_id").agg(count(lit(1)).as("total"))
+
+  /** `_termvectors` with term_statistics for the probed doc ids:
+    * re-analyze the stored `_source` text (exactly ES's fallback when term
+    * vectors aren't stored) + corpus-wide df per term. The df aggregation
+    * is pruned to the probed docs' terms FIRST (a broadcast semi-join), so
+    * the corpus-side pass never aggregates the full vocabulary — at 10^12
+    * docs df would instead be one lookup in the index's term dictionary
+    * (same numbers; see IndexBuilder.writeTermsFromPostings).
+    */
+  def termVectors(docs: DataFrame, ids: Seq[Long] = IdProbes): DataFrame = {
+    val probe = TextOps.termFreqs(docs.filter(col("doc_id").isin(ids: _*)))
+    val df = TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(probe.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    probe.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** `_explain` API: the per-term BM25 breakdown (tf, df, doclen, idf,
+    * addend) for each query's top-1 doc under the standard ranking — the
+    * operands are [[Bm25Sql.termRowsFromTermTable]]'s rows, so the
+    * breakdown sums bit-exactly to the ranked score.
+    */
+  def explainScore(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val rows = Bm25Sql.termRowsFromTermTable(docs, q)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val top1 = rows.groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("addend")))),
+        lit(0.0), (acc, x) => acc + x.getField("addend")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("query_id", "doc_id")
+    explainSelect(rows.join(broadcast(top1), Seq("query_id", "doc_id")))
+  }
+
+  /** Shared projection of explain rows (relational and index twins). */
+  private[query] def explainSelect(rows: DataFrame): DataFrame =
+    rows.select(col("query_id"), col("doc_id"), col("term"),
+      col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+      col("doclen").cast("long").as("doclen"),
+      round(col("idf"), 4).as("idf"), round(col("addend"), 4).as("addend"))
+
   /** Page-2 tail shared by the relational and index twins. */
   private[query] def compositePage(buckets: DataFrame, f1: String, f2: String,
       size: Int): DataFrame = {

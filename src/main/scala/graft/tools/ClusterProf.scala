@@ -27,18 +27,34 @@ object ClusterProf {
     * build.sbt already opens java.base/java.util.
     */
   def ensureSparkScalaVersion(): Unit =
-    if (!sys.env.contains("SPARK_SCALA_VERSION")) {
-      try {
-        val env = System.getenv()
-        val f = env.getClass.getDeclaredField("m")
-        f.setAccessible(true)
-        f.get(env).asInstanceOf[java.util.Map[String, String]]
-          .put("SPARK_SCALA_VERSION", "2.13")
-      } catch {
-        case e: Exception =>
-          System.err.println(s"[clusterprof] could not set SPARK_SCALA_VERSION: $e " +
-            "(export it before running if executor launch fails)")
-      }
+    if (!sys.env.contains("SPARK_SCALA_VERSION")) putenv("SPARK_SCALA_VERSION", "2.13")
+
+  /** Standalone Workers override the app's spark.local.dir for their
+    * executors (the SparkConf WARN): executor shuffle/spill dirs come from
+    * the WORKER's SPARK_LOCAL_DIRS env, falling back to java.io.tmpdir —
+    * i.e. the root disk, which on this sandbox writeback-throttles 10-20x
+    * under 4+ concurrent executors (measured: per-task time inflated 2-3x
+    * at 4x2 vs 1x2 on the same stage). local-cluster Workers live in the
+    * driver JVM, so injecting the env there routes every executor's local
+    * dirs to tmpfs — the cluster analog of giving each node local SSD
+    * scratch, which any real deployment has.
+    */
+  def ensureExecutorShmDirs(dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    putenv("SPARK_LOCAL_DIRS", dir)
+    putenv("SPARK_WORKER_DIR", s"$dir/work")
+  }
+
+  private def putenv(k: String, v: String): Unit =
+    try {
+      val env = System.getenv()
+      val f = env.getClass.getDeclaredField("m")
+      f.setAccessible(true)
+      f.get(env).asInstanceOf[java.util.Map[String, String]].put(k, v)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[clusterprof] could not set $k: $e " +
+          "(export it before running if executor launch fails)")
     }
 
   /** Per-stage wall/task/shuffle profile: makespan (submission→completion),
@@ -82,6 +98,12 @@ object ClusterProf {
         // jar distribution here
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory", s"${memMb}m")
+        // each executor JVM must size its GC/JIT/netty pools for ITS cores,
+        // not the host's 32: without this every executor spawns ~23 G1
+        // threads and 4x2 runs suffer a context-switch storm no real
+        // cluster node has (measured: per-task time inflated ~2x at 4x2)
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ActiveProcessorCount=$coresPer -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
