@@ -605,7 +605,9 @@ object SparkEntry {
     "q_explain_index" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
       IndexSearch.explainScore(s, idx, RefQueries.set).orderBy("query_id", "term")
-    })
+    }),
+    "q_analyze" -> ((s, _) =>
+      SearchOps.analyzeText(s).orderBy("text_id", "position"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2251,6 +2253,18 @@ object SparkEntry {
     "q_term_vectors" -> termVectorsSql,
     "q_explain" -> explainSql,
     "q_explain_index" -> explainSql, // block-pruned postings decode ≡ relational twin
+    // _analyze: the analyzer's (position, token) stream over fixed probe
+    // texts — DuckDB reproduces the tokenizer as lower + [^a-z0-9]+ split
+    "q_analyze" -> {
+      val vals = graft.query.SearchOps.AnalyzeProbes
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH p(text_id, txt) AS (VALUES $vals),
+         |arr AS (SELECT text_id, regexp_split_to_array(lower(txt), '[^a-z0-9]+') AS a FROM p),
+         |idx AS (SELECT text_id, a, unnest(generate_series(1, len(a))) AS i FROM arr),
+         |toks AS (SELECT text_id, i, a[i] AS token FROM idx WHERE a[i] <> '')
+         |SELECT text_id, (row_number() OVER (PARTITION BY text_id ORDER BY i) - 1)::INT AS position, token
+         |FROM toks ORDER BY text_id, position""".stripMargin
+    },
     // concat-and-chop packing manifest: global token offset in doc_id order
     "q_seq_pack" ->
       s"""WITH $TOK, $DL,

@@ -1198,6 +1198,32 @@ object SearchOps {
       col("doclen").cast("long").as("doclen"),
       round(col("idf"), 4).as("idf"), round(col("addend"), 4).as("addend"))
 
+  /** `_analyze` fixture texts: mixed case, punctuation runs, digits, and
+    * non-ASCII letters (dropped identically by the ASCII tokenizer and the
+    * oracle's `[^a-z0-9]+` split after lowercasing).
+    */
+  val AnalyzeProbes: Seq[(Int, String)] = Seq(
+    1 -> "The QUICK brown-fox: jumps over 42 lazy dogs!",
+    2 -> "  punctuation...only???  ",
+    3 -> "mixed42digits and cafe76 touch-e tokens2go",
+    4 -> "already lowercase tokens")
+
+  /** ES `_analyze` API: the analyzer's token stream — (position, token)
+    * per probe text. The tokenizer here IS the index build's
+    * `TextPrep.tokenize`, so this surface is byte-identical to what the
+    * postings were built from (the parity-debugging role `_analyze` plays
+    * against ES mappings). A per-request API, not a corpus job — the tiny
+    * probe table is parallelized only so the result is a DataFrame like
+    * every other query surface.
+    */
+  def analyzeText(spark: SparkSession,
+      probes: Seq[(Int, String)] = AnalyzeProbes): DataFrame = {
+    import spark.implicits._
+    probes.flatMap { case (id, txt) =>
+      TextPrep.tokenize(txt).zipWithIndex.map { case (tok, i) => (id, i, tok) }
+    }.toDF("text_id", "position", "token")
+  }
+
   /** Page-2 tail shared by the relational and index twins. */
   private[query] def compositePage(buckets: DataFrame, f1: String, f2: String,
       size: Int): DataFrame = {
