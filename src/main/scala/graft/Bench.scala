@@ -32,6 +32,18 @@ object Bench {
     */
   val ShmBase = "/dev/shm/graft-bench"
 
+  /** Hypervisor steal ticks (/proc/stat field 8, cumulative, 10 ms ticks).
+    * Sampled around each measured build — on this shared VM the neighbors
+    * steal a variable 0–2.8 cores, invisible to loadavg, and the per-rep
+    * stolen-core arrays published with every scaling block let the
+    * artifact carry its own contamination evidence.
+    */
+  private def stealTicks(): Long =
+    scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try f.getLines().next().trim.split("\\s+")(8).toLong finally f.close()
+    }.getOrElse(0L)
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -105,16 +117,18 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val levels = Seq(cpusLow, cpusMid, cpusHigh)
-    def buildOnce(cpus: Int): Double = {
+    def buildOnce(cpus: Int): (Double, Double) = {
       val s = session(cpus)
       import s.implicits._
       val pages = s.read.parquet(staging).as[graft.model.PageDoc]
       val dir = shmDir(s"idx$cpus")
+      val st0 = stealTicks()
       val (_, sec) = time {
         IndexBuilder.build(s, pages, dir, IndexBuilder.Config(numBuckets = benchBuckets))
       }
+      val stolen = (stealTicks() - st0) / 100.0 / sec
       s.stop()
-      sec
+      (sec, stolen)
     }
     locally { // JVM-wide JIT warm-up (shared across all sessions)
       val s = session(cpusHigh)
@@ -215,11 +229,6 @@ object Bench {
     // per-rep spread (loadavg stays ~0 idle; steal is invisible to it).
     // Published per rep as stolen cores so the artifact itself shows which
     // reps were contaminated; min-of-reps then provably picks quiet ones.
-    def stealTicks(): Long =
-      scala.util.Try {
-        val f = scala.io.Source.fromFile("/proc/stat")
-        try f.getLines().next().trim.split("\\s+")(8).toLong finally f.close()
-      }.getOrElse(0L)
     def execBuildOnce(execs: Int, coresPer: Int): (Double, Double) = {
       val s = clusterSession(execs, coresPer)
       import s.implicits._
@@ -274,9 +283,10 @@ object Bench {
     }
 
     // ---- thread-level scaling corroboration ----
-    val times: Map[Int, Seq[Double]] =
+    val threadRuns: Map[Int, Seq[(Double, Double)]] =
       (1 to reps).flatMap(_ => levels.map(c => c -> buildOnce(c)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val times: Map[Int, Seq[Double]] = threadRuns.view.mapValues(_.map(_._1)).toMap
     val thrLow = benchDocs.toDouble / times(cpusLow).min
     val thrMid = benchDocs.toDouble / times(cpusMid).min
     val thrHigh = benchDocs.toDouble / times(cpusHigh).min
@@ -310,12 +320,14 @@ object Bench {
 
     def threadReps(c: Int): String =
       times(c).map(t => f"${benchDocs.toDouble / t}%.1f").mkString("[", ",", "]")
+    def threadSteal(c: Int): String =
+      threadRuns(c).map(r => f"${r._2}%.2f").mkString("[", ",", "]")
     // headline efficiency: the N→4N pair measured below the host's
     // kernel-contention knee (cpusLow→cpusMid); the full-pressure
     // cpusMid→cpusHigh pair is reported alongside (see BASELINE.md for the
     // vmstat evidence of why 32 runnable threads saturate this VM's kernel)
     println(
-      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec",$fragment,"sf":"$sfDir",$execBlockJson,"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f,"protocol":"interleaved_min_of_$reps","reps_docs_per_sec":{"$cpusLow":${threadReps(cpusLow)},"$cpusMid":${threadReps(cpusMid)},"$cpusHigh":${threadReps(cpusHigh)}}},$hostProbeJson}""")
+      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec",$fragment,"sf":"$sfDir",$execBlockJson,"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f,"protocol":"interleaved_min_of_$reps","reps_docs_per_sec":{"$cpusLow":${threadReps(cpusLow)},"$cpusMid":${threadReps(cpusMid)},"$cpusHigh":${threadReps(cpusHigh)}},"steal_cores":{"$cpusLow":${threadSteal(cpusLow)},"$cpusMid":${threadSteal(cpusMid)},"$cpusHigh":${threadSteal(cpusHigh)}}},$hostProbeJson}""")
   }
 
   /** JDK17 module opens for a child Spark driver JVM (mirrors build.sbt /
