@@ -20,6 +20,44 @@ object IndexCache {
       dir
     })
 
+  private val uniBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Index over the [[UnicodeFixture]] corpus (documents + non-ASCII
+    * suffixes), built with the default Unicode analyzer — the index the
+    * `q_*_unicode` oracles query. Once per sfDir per JVM.
+    */
+  def unicodeForDocuments(spark: SparkSession, sfDir: String): String =
+    uniBuilt.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-uindex").toString
+      buildIndexOver(spark, UnicodeFixture.docs(spark, sfDir), dir, NumBuckets)
+      dir
+    })
+
+  private val metaBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-doc meta-override fixture (q_doc_meta_routing): the harness corpus
+    * ingested via StreamIngest.appendBatchWithMeta with deterministic
+    * doc_id-derived overrides — doc_id%3==0 → index "alt"; even doc_id →
+    * routing "r<doc_id%5>"; doc_id%5==0 → external version doc_id*1000;
+    * doc_id%7==0 → skipped. bucketSize=32 so routing groups span several
+    * buckets (the co-location arithmetic is non-trivial). Once per sfDir.
+    */
+  def docMetaForDocuments(spark: SparkSession, sfDir: String): String =
+    metaBuilt.getOrElseUpdate(sfDir, {
+      val base = java.nio.file.Files.createTempDirectory("graft-metaidx").toString
+      val pages = graft.corpus.Corpus.pagesFromDocuments(spark, sfDir)
+        .withColumn("did", regexp_extract(col("url"), "/(\\d+)$", 1).cast("long"))
+        .withColumn("meta_index", when(col("did") % 3 === 0, lit("alt")))
+        .withColumn("meta_routing",
+          when(col("did") % 2 === 0, concat(lit("r"), (col("did") % 5).cast("string"))))
+        .withColumn("meta_version", when(col("did") % 5 === 0, col("did") * 1000L))
+        .withColumn("meta_skip", col("did") % 7 === 0)
+        .drop("did")
+      graft.streaming.StreamIngest.appendBatchWithMeta(
+        spark, pages, base, defaultIndex = "main", bucketSize = 32, snapshotId = 1)
+      base
+    })
+
   private val posBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Positional sidecar over the harness corpus (once per sfDir per JVM). */
@@ -77,8 +115,12 @@ object IndexCache {
       dir
     })
 
-  def buildDocumentsIndex(spark: SparkSession, sfDir: String, dir: String, numBuckets: Int): IndexBuilder.BuildResult = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def buildDocumentsIndex(spark: SparkSession, sfDir: String, dir: String, numBuckets: Int): IndexBuilder.BuildResult =
+    buildIndexOver(spark, spark.read.parquet(s"$sfDir/documents.parquet"), dir, numBuckets)
+
+  /** Build over any documents-shaped frame (doc_id, text, source, ...). */
+  def buildIndexOver(spark: SparkSession, docs: org.apache.spark.sql.DataFrame, dir: String,
+      numBuckets: Int): IndexBuilder.BuildResult = {
     val n = math.max(1L, docs.count())
     val bucketSize = math.max(1L, (n + numBuckets - 1) / numBuckets)
     val assigned = docs.select(
@@ -87,7 +129,9 @@ object IndexCache {
       concat(lit("testdata://"), col("source"), lit("/"), col("doc_id")).as("url"),
       lit(0L).as("version"),
       col("text"))
+    // forward-index sidecar on: _termvectors + significant_terms fg serve
+    // from it instead of decoding postings
     IndexBuilder.buildFromAssigned(spark, assigned, dir,
-      IndexBuilder.Config(numBuckets = numBuckets))
+      IndexBuilder.Config(numBuckets = numBuckets, termVectors = true))
   }
 }

@@ -47,6 +47,27 @@ object SparkEntry {
       TextOps.doclens(TextOps.documents(s, d)).orderBy("doc_id")),
     "q_bm25_topk" -> ((s, d) => Bm25Sql.topK(s, d)),
     "q_wand_topk" -> ((s, d) => wandTopK(s, d)),
+    // ---- Unicode analysis chain (default analyzer) ----
+    "q_tokenize_unicode" -> ((s, d) => {
+      import s.implicits._
+      val an = graft.textprep.TextPrep.Analyzer.Unicode
+      UnicodeFixture.docs(s, d)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val toks = an.tokenize(t)
+          (id, toks.length.toLong, toks.mkString(" "))
+        }
+        .toDF("doc_id", "doclen", "toks").orderBy("doc_id")
+    }),
+    "q_wand_unicode" -> ((s, d) => {
+      // block-max WAND over the unicode-analyzed index; query text runs
+      // through the index's RECORDED analyzer (IndexBuilder.analyzerOf)
+      val idx = IndexCache.unicodeForDocuments(s, d)
+      QueryEngine.topK(s, idx, UnicodeFixture.Queries, UnicodeFixture.K).toDF()
+        .select(col("queryId").as("query_id"), col("rank"),
+          col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     "q_bool_and" -> ((s, d) => {
       val idx = IndexCache.forDocuments(s, d)
       QueryEngine.topKAnd(s, idx, RefQueries.set, RefQueries.K).toDF()
@@ -494,6 +515,31 @@ object SparkEntry {
       // kept vs dropped under the 300-byte cap
       Multimodal.oversizeReport(Multimodal.mixedPayload(s, d), maxBytes = 300)
         .orderBy("kind")),
+    "q_doc_meta_routing" -> ((s, d) => {
+      // per-doc meta override channel (parseIndexMeta, monstache.go:1080-
+      // 1103): per (target index, routing group) — doc count, number of
+      // buckets the group landed in (= ceil(n/32): contiguous co-location),
+      // and min/max LWW version (external override vs ts<<32 default).
+      // routing is re-derived from doc_id (the fixture rule) — the BUCKETS
+      // come from the built index, so co-location is verified physically.
+      val base = IndexCache.docMetaForDocuments(s, d)
+      val docs = s.read.parquet(s"$base/main/docs").withColumn("target", lit("main"))
+        .unionByName(s.read.parquet(s"$base/alt/docs").withColumn("target", lit("alt")))
+      docs.withColumn("did", regexp_extract(col("url"), "/(\\d+)$", 1).cast("long"))
+        .withColumn("routing",
+          when(col("did") % 2 === 0, concat(lit("r"), (col("did") % 5).cast("string")))
+            .otherwise(lit("")))
+        .groupBy("target", "routing")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("bucket")).as("n_buckets"),
+          min("version").as("min_version"), max("version").as("max_version"))
+        .orderBy("target", "routing")
+    }),
+    "q_media_dims" -> ((s, d) =>
+      // REAL header parsing (PNG IHDR / JPEG SOF walk / GIF LSD): the
+      // fixture encodes dims as pure doc_id arithmetic inside real headers,
+      // so the oracle checks the parser against the format spec
+      Multimodal.mediaDims(Multimodal.dimsPayload(s, d)).orderBy("doc_id")),
     "q_media_guard" -> ((s, d) =>
       // S7 guard IN the ingest path, content-omit semantics: oversized
       // payloads keep their row with NULL features and kind 'omitted'
@@ -599,6 +645,11 @@ object SparkEntry {
     }),
     "q_term_vectors" -> ((s, d) =>
       SearchOps.termVectors(TextOps.documents(s, d)).orderBy("doc_id", "term")),
+    "q_term_vectors_index" -> ((s, d) => {
+      // forward-index sidecar point-read (In(docId) pushdown) ≡ re-analyze twin
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.termVectors(s, idx).orderBy("doc_id", "term")
+    }),
     "q_explain" -> ((s, d) =>
       SearchOps.explainScore(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "term")),
@@ -1800,6 +1851,33 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25_topk" -> bm25Sql,
     "q_wand_topk" -> bm25Sql, // WAND must be rank-identical to the oracle
+    // Unicode analyzer: ordered token stream per doc over the suffixed
+    // corpus — RE2 \p{L}\p{N} == Java isLetter/N-category (dialect-pinned)
+    "q_tokenize_unicode" ->
+      s"""WITH ${UnicodeFixture.SqlCte},
+         |arr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS a FROM udocs)
+         |SELECT doc_id, len(a)::BIGINT AS doclen, array_to_string(a, ' ') AS toks FROM arr ORDER BY doc_id""".stripMargin,
+    // WAND over the unicode index ≡ exhaustive relational BM25 with the
+    // unicode tokenizer (same scoring text as bm25Sql, utok over udocs)
+    "q_wand_unicode" ->
+      s"""WITH ${UnicodeFixture.SqlCte}, ${UnicodeFixture.SqlTok},
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM utok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM utok GROUP BY 1),
+         |stats AS (SELECT count(*)::BIGINT AS n, sum(doclen)::BIGINT AS tot FROM dl),
+         |q(query_id, term) AS (VALUES ${UnicodeFixture.sqlValues}),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+         |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+         |       ORDER BY q.term ) AS score
+         |  FROM q JOIN tf ON q.term = tf.term
+         |  JOIN dft ON q.term = dft.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN stats
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+         |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${UnicodeFixture.K} ORDER BY query_id, rank""".stripMargin,
     "q_bool_and" -> boolAndSql,
     "q_facet_counts" -> facetSql,
     "q_phrase_match" -> phraseSql,
@@ -2079,6 +2157,27 @@ object SparkEntry {
         |  sum(CASE WHEN byte_len > 300 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
         |  max(CASE WHEN byte_len <= 300 THEN byte_len END)::BIGINT AS max_kept_bytes
         |FROM p GROUP BY kind ORDER BY kind""".stripMargin,
+    // meta override channel: targets/routing/skip re-derived from the
+    // fixture rules; n_buckets = ceil(n/32) because routing groups get
+    // CONTIGUOUS docId sub-ranges (co-location verified physically)
+    "q_doc_meta_routing" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'alt' ELSE 'main' END AS target,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'r' || (doc_id % 5)::VARCHAR ELSE '' END AS routing,
+        |    CASE WHEN doc_id % 5 = 0 THEN doc_id * 1000
+        |         ELSE (1735689600 + doc_id) * 4294967296 END AS version
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT target, routing, count(*)::BIGINT AS n_docs,
+        |  ((count(*) + 31) // 32)::BIGINT AS n_buckets,
+        |  min(version)::BIGINT AS min_version, max(version)::BIGINT AS max_version
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_media_dims" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS kind,
+        |  (16 + doc_id % 617)::INT AS width,
+        |  (16 + doc_id % 419)::INT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_guard" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -2251,6 +2350,7 @@ object SparkEntry {
     "q_count" -> countSql,
     "q_count_index" -> countSql, // docIds-only traversal ≡ relational twin
     "q_term_vectors" -> termVectorsSql,
+    "q_term_vectors_index" -> termVectorsSql, // sidecar point-read ≡ re-analyze twin
     "q_explain" -> explainSql,
     "q_explain_index" -> explainSql, // block-pruned postings decode ≡ relational twin
     // _analyze: the analyzer's (position, token) stream over fixed probe

@@ -68,6 +68,20 @@ object IndexBuilder {
         * analog) — positions ride the staged fat rows, no second text scan
         */
       positions: Boolean = false,
+      /** analysis chain: "unicode" (default — `\p{L}\p{N}` code-point runs,
+        * so non-ASCII pages are searchable; the ES standard-analyzer analog
+        * the reference delegates to, monstache.go:46) or "ascii" (the
+        * SQL-dialect-pinned `[a-z0-9]+` analyzer). Identical output on
+        * pure-ASCII corpora. Recorded in `indexDir/meta`; every query path
+        * tokenizes with the index's RECORDED analyzer, never a global.
+        */
+      analyzer: String = "unicode",
+      /** forward-index sidecar: bucket-partitioned (docId, term, tf) rows
+        * from the SAME staged tokenize pass (Lucene's stored term vectors /
+        * ES `term_vector: yes`) — serves `_termvectors` and the
+        * significant_terms foreground incidence without decoding postings
+        */
+      termVectors: Boolean = false,
       /** test-only crash injection: throw after group g's lineage commit */
       failAfterGroup: Int = -1
   )
@@ -257,12 +271,13 @@ object IndexBuilder {
       val base = assigned
         .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
         .as[(Long, Int, String, Long, String)]
+      val an = TextPrep.Analyzer(cfg.analyzer)
       val staged =
         if (cfg.positions)
           // positions ride the same single tokenize pass as an extra
           // per-term int-array column (term order identical to termFreqs)
           base.map { case (docId, bucket, url, version, text) =>
-            val tps = TextPrep.termFreqsWithPositions(text)
+            val tps = an.termFreqsWithPositions(text)
             var dl = 0
             tps.foreach(dl += _._2)
             (docId, bucket, url, version, dl, tps.map(_._1), tps.map(_._2),
@@ -270,7 +285,7 @@ object IndexBuilder {
           }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs", "poss")
         else
           base.map { case (docId, bucket, url, version, text) =>
-            val tfs = TextPrep.termFreqs(text)
+            val tfs = an.termFreqs(text)
             var dl = 0
             tfs.foreach(dl += _._2)
             (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
@@ -412,6 +427,26 @@ object IndexBuilder {
         .parquet(s"$indexDir/positions")
     }
 
+    // ---- optional forward-index (term vectors) sidecar, also from the
+    // staged tokenized table: one thin (docId, term, tf) row per distinct
+    // (doc, term), bucket-partitioned and docId-sorted so per-doc reads
+    // prune to one bucket file and row-group min/max on docId ----
+    def writeTermVectors(): Unit = phase("termvectors") {
+      spark.read.parquet(stage)
+        .select(col("bucket"), col("docId"),
+          explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+        .select(col("bucket"), col("docId"),
+          col("tt.terms").as("term"), col("tt.tfs").as("tf"))
+        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
+        .sortWithinPartitions("bucket", "docId", "term")
+        .withColumn("tvbucket", col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tvbucket")
+        .option("compression", cfg.parquetCodec)
+        .parquet(s"$indexDir/termvectors")
+    }
+
     // ---- phase 4: lineage + term dictionary (+ positions sidecar) ----
     // Single-group fast path: these are mutually independent reads of
     // already-committed tables, so they run as CONCURRENT Spark jobs from
@@ -423,15 +458,19 @@ object IndexBuilder {
     if (groups == 1) {
       val tail = Seq(
         Future(writeStats()),
+        Future(writeMeta(spark, indexDir, cfg.analyzer)),
         Future(phase("lineage-group-0")(appendLineage(spark, indexDir,
           bucketFilter = !col("bucket").isin(doneBuckets.toSeq: _*),
           snapshotId = cfg.snapshotId))),
         Future(phase("terms")(writeTermsFromPostings(spark, indexDir, cfg.parquetCodec)))
-      ) ++ (if (cfg.positions) Seq(Future(writePositions())) else Nil)
+      ) ++ (if (cfg.positions) Seq(Future(writePositions())) else Nil) ++
+        (if (cfg.termVectors) Seq(Future(writeTermVectors())) else Nil)
       Await.result(Future.sequence(tail), Duration.Inf)
     } else {
       writeStats()
+      writeMeta(spark, indexDir, cfg.analyzer)
       if (cfg.positions) writePositions()
+      if (cfg.termVectors) writeTermVectors()
       phase("terms")(writeTermsFromPostings(spark, indexDir, cfg.parquetCodec))
     }
 
@@ -449,6 +488,35 @@ object IndexBuilder {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  /** Index-level metadata (currently: the analyzer name). A tiny (key,
+    * value) table so query paths tokenize with the analyzer the index was
+    * BUILT with — the ES mapping's `analyzer` property, which monstache
+    * defers to entirely (the mapper never re-analyzes, monstache.go:46).
+    */
+  def writeMeta(spark: SparkSession, indexDir: String, analyzer: String): Unit = {
+    import spark.implicits._
+    Seq(("analyzer", analyzer)).toDF("key", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/meta")
+  }
+
+  /** The analyzer an index was built with ([[writeMeta]]); "ascii" for
+    * pre-meta indexes (the historical default).
+    */
+  def analyzerOf(spark: SparkSession, indexDir: String): TextPrep.Analyzer =
+    analyzerCache.getOrElseUpdate(indexDir, {
+      if (exists(spark, s"$indexDir/meta"))
+        TextPrep.Analyzer(
+          spark.read.parquet(s"$indexDir/meta")
+            .filter(col("key") === "analyzer")
+            .select("value").head().getString(0))
+      else TextPrep.Analyzer.Ascii
+    })
+
+  // one tiny file read per index dir per JVM — query paths call analyzerOf
+  // on every request
+  private val analyzerCache =
+    scala.collection.concurrent.TrieMap.empty[String, TextPrep.Analyzer]
 
   /** Append a snapshot row (snapshotId, rowCount, ts) — the commit marker. */
   def commitSnapshot(spark: SparkSession, indexDir: String, snapshotId: Long, rowCount: Long): Unit = {
@@ -524,7 +592,7 @@ object IndexBuilder {
       .parquet(s"$indexDir/terms")
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -656,7 +724,10 @@ object IndexBuilder {
           }
         }
         val termArr = acc.keySet().toArray(new Array[String](acc.size()))
-        java.util.Arrays.sort(termArr.asInstanceOf[Array[AnyRef]]) // ASCII terms: = UTF-8 order
+        // code-point order = UTF-8 byte order (Spark's UTF8String order);
+        // plain String.compareTo is UTF-16-unit order, which diverges for
+        // supplementary characters a Unicode-analyzed corpus can contain
+        java.util.Arrays.sort(termArr, codePointOrder)
         pending = termArr.iterator.map { t =>
           val a = acc.get(t)
           val docIds = a.docIds
@@ -667,6 +738,29 @@ object IndexBuilder {
             docIds.head, docIds.last, blocks)
         }
       }
+    }
+
+  /** UTF-8-byte (= code-point) String ordering: compareTo except that a
+    * high surrogate (a supplementary code point, ≥ U+10000) outranks any
+    * BMP char ≥ U+E000 it would otherwise sort below.
+    */
+  private[graft] val codePointOrder: java.util.Comparator[String] =
+    (a: String, b: String) => {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < n) {
+        val ca = a.charAt(i)
+        val cb = b.charAt(i)
+        if (ca != cb) {
+          r =
+            if (Character.isHighSurrogate(ca) && !Character.isHighSurrogate(cb) && cb >= 0xe000) 1
+            else if (Character.isHighSurrogate(cb) && !Character.isHighSurrogate(ca) && ca >= 0xe000) -1
+            else ca - cb
+        }
+        i += 1
+      }
+      if (r != 0) r else a.length - b.length
     }
 
   /** Consume a (bucket, term, docId)-sorted posting stream, emitting one

@@ -32,20 +32,22 @@ object Positions {
     * (doc, term) — the same fat-row-then-sort shape as the postings build).
     */
   def build(spark: SparkSession, assigned: DataFrame, indexDir: String,
-      numBuckets: Int, codec: String = "zstd"): Unit =
-    writeSegment(spark, assigned, s"$indexDir/positions", numBuckets, codec)
+      numBuckets: Int, codec: String = "zstd",
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Unicode): Unit =
+    writeSegment(spark, assigned, s"$indexDir/positions", numBuckets, codec, analyzer)
 
   /** Tokenize-with-positions + bucket-partitioned dynamic overwrite of the
     * given rows' pbuckets — the batch build writes all buckets, a streaming
     * append writes only its fresh ones.
     */
   def writeSegment(spark: SparkSession, assigned: DataFrame, path: String,
-      parts: Int, codec: String = "zstd"): Unit = {
+      parts: Int, codec: String = "zstd",
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Unicode): Unit = {
     import spark.implicits._
     val rows = assigned.select(col("docId"), col("bucket"), col("text"))
       .as[(Long, Int, String)]
       .flatMap { case (docId, bucket, text) =>
-        val toks = TextPrep.tokenize(text)
+        val toks = analyzer.tokenize(text)
         val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         var i = 0
         while (i < toks.length) {
@@ -77,10 +79,11 @@ object Positions {
     * intersects position chains per doc.
     */
   def phraseMatch(spark: SparkSession, indexDir: String,
-      phrases: Seq[(String, String)], tombstones: Set[Long] = Set.empty): DataFrame = {
+      phrases: Seq[(String, String)], tombstones: Set[Long] = Set.empty,
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Unicode): DataFrame = {
     import spark.implicits._
     val phraseTerms: Seq[(String, Array[String])] =
-      phrases.map { case (pid, ptext) => pid -> TextPrep.tokenize(ptext) }
+      phrases.map { case (pid, ptext) => pid -> analyzer.tokenize(ptext) }
     val allTerms = phraseTerms.flatMap(_._2).distinct
     val phrasesB = spark.sparkContext.broadcast(phraseTerms)
     val tombB = spark.sparkContext.broadcast(tombstones)
@@ -158,7 +161,7 @@ object Positions {
       probes: Seq[(String, String)], tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val parsed: Seq[(String, Array[String], String)] = probes.map { case (pid, ptext) =>
-      val ws = TextPrep.tokenize(ptext)
+      val ws = TextPrep.Analyzer.Unicode.tokenize(ptext)
       require(ws.length >= 2, s"phrase_prefix probe needs >=1 lead token + prefix: $ptext")
       (pid, ws.dropRight(1), ws.last)
     }

@@ -22,17 +22,18 @@ object ExhaustiveScorer {
       spark: SparkSession,
       docsText: Dataset[(Long, String)],
       queries: Seq[(String, String)],
-      k: Int
+      k: Int,
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Ascii
   ): Dataset[ScoredDoc] = {
     import spark.implicits._
     val qTerms: Seq[(String, Array[String])] =
-      queries.map { case (qid, t) => qid -> TextPrep.tokenize(t).distinct.sorted }
+      queries.map { case (qid, t) => qid -> analyzer.tokenize(t).distinct.sorted }
     val allTerms = qTerms.flatMap(_._2).distinct.toSet
     if (allTerms.isEmpty) return spark.emptyDataset[ScoredDoc]
     val allTermsB = spark.sparkContext.broadcast(allTerms)
 
     val tokens = docsText.flatMap { case (docId, text) =>
-      val tfs = TextPrep.termFreqs(text)
+      val tfs = analyzer.termFreqs(text)
       val dl = tfs.map(_._2).sum
       tfs.iterator.map { case (term, tf) => (docId, term, tf, dl) }
     }.toDF("docId", "term", "tf", "doclen").cache()

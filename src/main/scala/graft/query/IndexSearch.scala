@@ -587,33 +587,67 @@ object IndexSearch {
   }
 
   /** significant_terms served from the index (ES JLH): the foreground
-    * doc→term incidence comes from a full postings decode joined to the
-    * match set (the per-shard all-terms traversal ES itself runs for this
-    * aggregation — there is no cheaper exact form), the background df from
-    * the term dictionary, corpus N from the stats table. The JLH ranking
-    * tail is shared code with the relational twin, so the doubles match.
-    * Background counts reflect the index's live stats; a deferred-compaction
-    * index would shade bg_df high until compaction (same as ES before
-    * merge).
+    * doc→term incidence comes from the forward-index sidecar
+    * ([[IndexBuilder.Config.termVectors]]) — a thin (docId, term) columnar
+    * scan broadcast-joined to the match set, the ES shape (fg counts are
+    * gathered per shard from stored term vectors / doc values, never by
+    * decoding postings) — falling back to a full postings decode only on
+    * sidecar-less indexes. Background df from the term dictionary, corpus N
+    * from the stats table. The JLH ranking tail is shared code with the
+    * relational twin, so the doubles match. Background counts reflect the
+    * index's live stats; a deferred-compaction index would shade bg_df high
+    * until compaction (same as ES before merge).
     */
   def significantTerms(spark: SparkSession, indexDir: String,
       queries: Seq[(String, String)], n: Int = 5): DataFrame = {
     import spark.implicits._
     val m = matchedDocs(spark, indexDir, queries)
     val fgN = m.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
-    val termDoc = spark.read.parquet(s"$indexDir/postings")
-      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
-        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
-      .as[TermPostings]
-      .flatMap(tp => tp.blocks.iterator.flatMap(b =>
-        Blocks.decodeDocIds(b).iterator.map(d => (tp.term, d))))
-      .toDF("term", "doc_id")
-    val fg = m.join(termDoc, Seq("doc_id")).groupBy("query_id", "term")
-      .agg(count(lit(1)).as("fg_df"))
+    val fg =
+      if (graft.index.IndexBuilder.exists(spark, s"$indexDir/termvectors")) {
+        // forward index: project ONLY (docId, term); the match set (the
+        // per-query fg docs — df-bounded, shard-local in ES) broadcasts, so
+        // the sidecar scan joins without a shuffle and postings stay cold
+        val termDoc = spark.read.parquet(s"$indexDir/termvectors")
+          .select(col("docId").as("doc_id"), col("term"))
+        termDoc.join(broadcast(m), Seq("doc_id"))
+          .groupBy("query_id", "term").agg(count(lit(1)).as("fg_df"))
+      } else {
+        val termDoc = spark.read.parquet(s"$indexDir/postings")
+          .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+            col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+          .as[TermPostings]
+          .flatMap(tp => tp.blocks.iterator.flatMap(b =>
+            Blocks.decodeDocIds(b).iterator.map(d => (tp.term, d))))
+          .toDF("term", "doc_id")
+        m.join(termDoc, Seq("doc_id")).groupBy("query_id", "term")
+          .agg(count(lit(1)).as("fg_df"))
+      }
     val bg = spark.read.parquet(s"$indexDir/terms")
       .groupBy("term").agg(sum("df").as("bg_df"))
     val bgN = QueryEngine.loadStats(spark, indexDir).n
     SearchOps.rankSignificant(fg, fgN, bg, bgN, n)
+  }
+
+  /** `_termvectors` with term_statistics served from the forward-index
+    * sidecar: the probed docs' (term, tf) rows read with an In(docId)
+    * pushdown (sidecar files are docId-sorted per bucket → row-group
+    * min/max pruning), df joined from the term dictionary pruned FIRST to
+    * the probed terms — no postings decode, no re-analysis of stored text
+    * (the stored-term-vector fast path ES uses when `term_vector` is
+    * enabled on the field; SearchOps.termVectors is the re-analyze
+    * fallback).
+    */
+  def termVectors(spark: SparkSession, indexDir: String,
+      ids: Seq[Long] = SearchOps.IdProbes): DataFrame = {
+    val tv = spark.read.parquet(s"$indexDir/termvectors")
+      .filter(col("docId").isin(ids: _*))
+      .select(col("docId").as("doc_id"), col("term"), col("tf").cast("long").as("tf"))
+    val df = spark.read.parquet(s"$indexDir/terms")
+      .join(broadcast(tv.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(sum("df").as("df"))
+    tv.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
   /** Field collapsing served from the index (ES `collapse`): best doc per

@@ -185,8 +185,9 @@ object QueryEngine {
     */
   def topKShould(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int,
       m: Int): Dataset[ScoredDoc] = {
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val minMatch = queries.map { case (qid, text) =>
-      qid -> math.min(m, TextPrep.tokenize(text).distinct.length)
+      qid -> math.min(m, an.tokenize(text).distinct.length)
     }.toMap
     topKImpl(spark, indexDir, queries, k, None, minMatch = minMatch)
   }
@@ -197,8 +198,10 @@ object QueryEngine {
       minMatch: Map[String, Int] = Map.empty,
       included: Option[org.apache.spark.sql.DataFrame] = None): Dataset[ScoredDoc] = {
     import spark.implicits._
+    // query text runs through the analyzer the index was BUILT with
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val qTerms: Seq[(String, Array[String])] =
-      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
+      queries.map { case (qid, text) => qid -> an.tokenize(text).distinct.sorted }
     val allTerms = qTerms.flatMap(_._2).distinct
     val stats = loadStats(spark, indexDir)
     val tstats = loadTermStats(spark, indexDir, allTerms)
@@ -279,8 +282,9 @@ object QueryEngine {
     */
   def topKAnd(spark: SparkSession, indexDir: String, queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] = {
     import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val qTerms: Seq[(String, Array[String])] =
-      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
+      queries.map { case (qid, text) => qid -> an.tokenize(text).distinct.sorted }
     val allTerms = qTerms.flatMap(_._2).distinct
     val stats = loadStats(spark, indexDir)
     val tstats = loadTermStats(spark, indexDir, allTerms)
@@ -482,6 +486,7 @@ object QueryEngine {
   final class IndexReader(spark: SparkSession, indexDir: String) {
     import spark.implicits._
     val stats: CorpusStats = loadStats(spark, indexDir)
+    private val analyzer = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     // tombstones pinned at reader construction (same snapshot discipline as
     // stats): serving paths must never surface a replaced doc pre-compaction
     private val tombstones: Set[Long] = loadTombstones(spark, indexDir)
@@ -511,7 +516,7 @@ object QueryEngine {
 
     def topK(queries: Seq[(String, String)], k: Int): Dataset[ScoredDoc] = {
       val qTerms = queries.map { case (qid, text) =>
-        qid -> TextPrep.tokenize(text).distinct.sorted
+        qid -> analyzer.tokenize(text).distinct.sorted
       }
       val allTerms = qTerms.flatMap(_._2).distinct
       val tstats = termStats(allTerms)
@@ -567,7 +572,7 @@ object QueryEngine {
       */
     def topKServe(queries: Seq[(String, String)], k: Int): Seq[ScoredDoc] = {
       val qTerms = queries.map { case (qid, text) =>
-        qid -> TextPrep.tokenize(text).distinct.sorted
+        qid -> analyzer.tokenize(text).distinct.sorted
       }
       val allTerms = qTerms.flatMap(_._2).distinct
       if (allTerms.isEmpty) return Nil
@@ -600,7 +605,7 @@ object QueryEngine {
       */
     def topKServeAnd(queries: Seq[(String, String)], k: Int): Seq[ScoredDoc] = {
       val qTerms = queries.map { case (qid, text) =>
-        qid -> TextPrep.tokenize(text).distinct.sorted
+        qid -> analyzer.tokenize(text).distinct.sorted
       }
       val allTerms = qTerms.flatMap(_._2).distinct
       if (allTerms.isEmpty) return Nil

@@ -46,21 +46,52 @@ object StreamIngest {
 
   /** Append one batch of pages to an existing (or empty) index dir. */
   def appendBatch(spark: SparkSession, batch: Dataset[PageDoc], indexDir: String,
+      bucketSize: Long = 1 << 16, snapshotId: Long = 1L): Unit =
+    appendBatchDF(spark, batch.toDF(), indexDir, bucketSize, snapshotId)
+
+  /** [[appendBatch]] over a frame that may carry the per-doc meta override
+    * channel (the reference's `parseIndexMeta` / `MapperPluginOutput`
+    * surface, `monstache.go:1080-1103`, `monstachemap/plugin.go:19-44`):
+    *
+    *  - `meta_version: long` — overrides the ts-derived LWW version (ES
+    *    external versioning); null falls through to `warc_ts << 32`.
+    *  - `meta_routing: string` — ES routing: docs sharing a routing value
+    *    are co-located in the same fresh bucket(s) (contiguous docId
+    *    sub-ranges per routing group, so the docId-range-disjoint bucket
+    *    invariant is preserved); null joins the default ("") group.
+    *
+    * `meta_index` / `meta_skip` / `meta_drop` are resolved by
+    * [[appendBatchWithMeta]] before this point.
+    */
+  def appendBatchDF(spark: SparkSession, batchIn: DataFrame, indexDir: String,
       bucketSize: Long = 1 << 16, snapshotId: Long = 1L): Unit = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
-    // in-batch last-writer-wins by version (W1/X2)
-    val versioned = batch.toDF()
-      .withColumn("version", shiftleft(unix_timestamp(col("warc_ts")), 32))
+    // in-batch last-writer-wins by version (W1/X2); version/routing come
+    // from the meta channel when present
+    val tsVersion = shiftleft(unix_timestamp(col("warc_ts")), 32)
+    val versioned = batchIn
+      .withColumn("version",
+        if (batchIn.columns.contains("meta_version"))
+          coalesce(col("meta_version"), tsVersion) else tsVersion)
+      .withColumn("routing",
+        if (batchIn.columns.contains("meta_routing"))
+          coalesce(col("meta_routing"), lit("")) else lit(""))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url")).orderBy(col("version").desc)
     val deduped = versioned.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("url", "version", "text")
+      .filter(col("rn") === 1).select("url", "version", "text", "routing")
 
     val docsPath = s"$indexDir/docs"
     val hasBase = exists(spark, docsPath)
     if (hasBase) bootstrapSideTables(spark, indexDir)
+    // the batch tokenizes with the index's RECORDED analyzer (a stream onto
+    // a fresh dir records the build default first, so base + appends are
+    // always analyzer-consistent)
+    if (!exists(spark, s"$indexDir/meta"))
+      IndexBuilder.writeMeta(spark, indexDir, IndexBuilder.Config().analyzer)
+    val an = IndexBuilder.analyzerOf(spark, indexDir)
 
     // docmeta is the batch COMMIT POINT: pre-batch high-water marks AND
     // corpus totals come from it alone, and it is overwritten last (just
@@ -102,11 +133,11 @@ object StreamIngest {
     val joined = deduped.alias("n")
       .join(broadcast(existing.alias("e")), Seq("url"), "left")
       .filter(col("e.docId").isNull || col("n.version") > col("e.version"))
-      .select(col("url"), col("n.version").as("version"), col("text"),
+      .select(col("url"), col("n.version").as("version"), col("text"), col("routing"),
         col("e.docId").as("oldDocId"), col("e.doclen").as("oldDoclen"))
     joined.write.mode(SaveMode.Overwrite).parquet(s"$staging/admitted")
     val admitted = spark.read.parquet(s"$staging/admitted")
-    val fresh = admitted.select("url", "version", "text")
+    val fresh = admitted.select("url", "version", "text", "routing")
     val tombstones = admitted.filter(col("oldDocId").isNotNull)
       .select(col("oldDocId").as("docId"), col("oldDoclen").as("doclen"))
 
@@ -128,21 +159,18 @@ object StreamIngest {
     }
 
     // deterministic-within-batch id assignment continuing after maxDocId;
-    // fresh buckets start beyond the base index's highest bucket. The
-    // tokenize runs ONCE here; docs/postings/stats all derive from the
+    // fresh buckets start beyond the base index's highest bucket; routing
+    // groups get contiguous docId sub-ranges → dedicated fresh bucket(s).
+    // The tokenize runs ONCE here; docs/postings/stats all derive from the
     // staged result.
-    IndexBuilder.assignDocIds(spark, fresh, numBuckets = 1)
-      .map { case (localId, _, url, version, text) =>
-        val tfs = TextPrep.termFreqs(text)
+    assignDocIdsRouted(spark, fresh, bucketSize, maxDocId, maxBucket)
+      .map { case (docId, bucket, url, version, text) =>
+        val tfs = an.termFreqs(text)
         var dl = 0
         tfs.foreach(dl += _._2)
-        (localId, url, version, dl, tfs.map(_._1), tfs.map(_._2))
+        (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
       }
-      .toDF("localId", "url", "version", "doclen", "terms", "tfs")
-      .select(
-        (col("localId") + lit(maxDocId + 1)).as("docId"),
-        (lit(maxBucket + 1) + (col("localId") / lit(bucketSize)).cast("int")).as("bucket"),
-        col("url"), col("version"), col("doclen"), col("terms"), col("tfs"))
+      .toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/assigned")
     val assigned = spark.read.parquet(s"$staging/assigned")
 
@@ -171,7 +199,24 @@ object StreamIngest {
           .join(admitted.select(col("url"), col("text")), Seq("url"))
           .select("docId", "bucket", "text"),
         s"$indexDir/positions",
-        parts = spark.sessionState.conf.numShufflePartitions)
+        parts = spark.sessionState.conf.numShufflePartitions,
+        analyzer = an)
+
+    // forward-index sidecar, iff this index maintains one: the batch's
+    // (docId, term, tf) rows from the already-staged arrays (no re-tokenize),
+    // dynamic overwrite of the fresh tvbuckets — O(batch), retry-safe
+    if (exists(spark, s"$indexDir/termvectors"))
+      assigned.select(col("bucket"), col("docId"),
+          explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+        .select(col("bucket"), col("docId"),
+          col("tt.terms").as("term"), col("tt.tfs").as("tf"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "docId", "term")
+        .withColumn("tvbucket", col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tvbucket")
+        .parquet(s"$indexDir/termvectors")
 
     val fAgg = assigned.agg(
       coalesce(sum(when(col("doclen") > 0, 1L).otherwise(0L)), lit(0L)).as("cpos"),
@@ -225,6 +270,121 @@ object StreamIngest {
     * (or by a plain batch build): derive `urlmap` + `docmeta` from the docs
     * table. O(index) ONCE, then every append is O(batch).
     */
+  /** Deterministic batch-local docId/bucket assignment with ES-routing
+    * co-location: ids are the rank over (routing asc, unsigned url-hash,
+    * url), so each routing group owns a CONTIGUOUS docId sub-range and its
+    * own fresh bucket range (the docId-range-disjoint mini-index invariant
+    * is preserved — routing never scatters a bucket). With one default
+    * routing group this degenerates to exactly the unrouted assignment
+    * (rank over the url hash — byte-identical docIds/buckets to the
+    * pre-meta path). Two-pass like `IndexBuilder.assignDocIds`: per-
+    * (routing, hash-range) counts to the driver (bounded: 256 ranges × the
+    * batch's distinct routing values), then one repartition +
+    * in-partition sort + streaming rank — the batch is never collected.
+    */
+  private def assignDocIdsRouted(spark: SparkSession, fresh: DataFrame,
+      bucketSize: Long, maxDocId: Long, maxBucket: Int): Dataset[(Long, Int, String, Long, String)] = {
+    import spark.implicits._
+    val R = 256
+    val hashed = fresh
+      .withColumn("h", xxhash64(col("url")))
+      .withColumn("rangeId", shiftrightunsigned(col("h"), 64 - 8).cast("int"))
+    val counts: Map[(String, Int), Long] = hashed.groupBy("routing", "rangeId")
+      .agg(count(lit(1)).as("c")).as[(String, Int, Long)].collect()
+      .map { case (r, g, c) => (r, g) -> c }.toMap
+    val routings = counts.keysIterator.map(_._1).toSeq.distinct.sorted
+    val offsets = scala.collection.mutable.HashMap.empty[(String, Int), Long]
+    val bucketBases = scala.collection.mutable.HashMap.empty[String, (Int, Long)]
+    var acc = maxDocId + 1
+    var bacc = maxBucket + 1
+    routings.foreach { r =>
+      val gStart = acc
+      var g = 0
+      while (g < R) {
+        val c = counts.getOrElse((r, g), 0L)
+        if (c > 0) offsets((r, g)) = acc
+        acc += c
+        g += 1
+      }
+      bucketBases(r) = (bacc, gStart)
+      val n = acc - gStart
+      bacc += math.max(1L, (n + bucketSize - 1) / bucketSize).toInt
+    }
+    val offB = spark.sparkContext.broadcast(offsets.toMap)
+    val baseB = spark.sparkContext.broadcast(bucketBases.toMap)
+    val par = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    hashed.select(col("routing"), col("rangeId"), col("h"), col("url"),
+        col("version"), col("text"))
+      .repartition(par, col("routing"), col("rangeId"))
+      .sortWithinPartitions(col("routing"), col("rangeId"), col("h"), col("url"))
+      .as[(String, Int, Long, String, Long, String)]
+      .mapPartitions { it =>
+        val offs = offB.value
+        val bases = baseB.value
+        var curR: String = null
+        var curG = -1
+        var next = 0L
+        it.map { case (routing, rangeId, _, url, version, text) =>
+          if (routing != curR || rangeId != curG) {
+            curR = routing; curG = rangeId; next = offs((routing, rangeId))
+          }
+          val docId = next
+          next += 1
+          val (bBase, gStart) = bases(routing)
+          val bucket = bBase + ((docId - gStart) / bucketSize).toInt
+          (docId, bucket, url, version, text)
+        }
+      }
+  }
+
+  /** The full per-doc meta override channel (the reference's
+    * `parseIndexMeta` + plugin `MapperPluginOutput`,
+    * `monstache.go:1080-1103`, `monstachemap/plugin.go:19-44`): on top of
+    * [[appendBatchDF]]'s `meta_version`/`meta_routing`,
+    *
+    *  - `meta_index: string` — routes the doc to `baseDir/<index>` (its own
+    *    complete index: docs/postings/stats/urlmap); null → `defaultIndex`.
+    *  - `meta_skip: boolean` — the doc is ignored entirely (plugin Skip).
+    *  - `meta_drop: boolean` — the doc is DELETED from its target index
+    *    (plugin Drop → versioned tombstone via [[deleteByQuery]]).
+    *
+    * Returns the target index dirs touched, sorted. Target count is
+    * config-bounded (index names), so the per-target loop is driver-side
+    * dispatch, not data movement.
+    */
+  def appendBatchWithMeta(spark: SparkSession, batch: DataFrame, baseDir: String,
+      defaultIndex: String, bucketSize: Long = 1 << 16, snapshotId: Long = 1L): Seq[String] = {
+    import spark.implicits._
+    def has(c: String) = batch.columns.contains(c)
+    val unskipped =
+      if (has("meta_skip")) batch.filter(col("meta_skip").isNull || !col("meta_skip"))
+      else batch
+    val withTarget = unskipped.withColumn("target",
+      if (has("meta_index")) coalesce(col("meta_index"), lit(defaultIndex))
+      else lit(defaultIndex))
+    val targets = withTarget.select("target").distinct().as[String].collect().sorted
+    targets.foreach { t =>
+      val dir = s"$baseDir/$t"
+      val rows = withTarget.filter(col("target") === t)
+      val adds =
+        if (has("meta_drop")) rows.filter(col("meta_drop").isNull || !col("meta_drop"))
+        else rows
+      appendBatchDF(spark,
+        adds.drop("target", "meta_index", "meta_skip", "meta_drop"),
+        dir, bucketSize, snapshotId)
+      if (has("meta_drop")) {
+        // batch-bounded url list; delete AFTER adds (an add+drop of the
+        // same url within one batch nets to deleted — the reference's op
+        // ordering within a bulk flush)
+        val dropUrls = rows.filter(col("meta_drop") === true)
+          .select("url").distinct().as[String].collect()
+        if (dropUrls.nonEmpty && exists(spark, s"$dir/docs"))
+          deleteByQuery(spark, dir, col("url").isin(dropUrls.toSeq: _*), snapshotId)
+      }
+    }
+    targets.map(t => s"$baseDir/$t").toSeq
+  }
+
   def bootstrapSideTables(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
     val docsR = () => spark.read.parquet(s"$indexDir/docs")
@@ -377,6 +537,26 @@ object StreamIngest {
         .partitionBy("pbucket").parquet(s"$indexDir/positions")
       (deadBuckets -- liveBuckets).foreach { b =>
         delete(spark, s"$indexDir/positions/pbucket=$b")
+      }
+    }
+
+    // forward-index sidecar (if maintained): same anti-join rewrite of the
+    // affected tvbuckets
+    if (exists(spark, s"$indexDir/termvectors")) {
+      spark.read.parquet(s"$indexDir/termvectors")
+        .filter(col("bucket").isin(deadBuckets.toSeq: _*))
+        .select("bucket", "docId", "term", "tf")
+        .join(tombs, Seq("docId"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/termvectors")
+      spark.read.parquet(s"$staging/termvectors")
+        .withColumn("tvbucket", col("bucket"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "docId", "term")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tvbucket").parquet(s"$indexDir/termvectors")
+      (deadBuckets -- liveBuckets).foreach { b =>
+        delete(spark, s"$indexDir/termvectors/tvbucket=$b")
       }
     }
 

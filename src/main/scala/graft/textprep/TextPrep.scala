@@ -119,6 +119,53 @@ object TextPrep {
     sb.toString
   }
 
+  /** Analyzer abstraction (the ES analysis-chain analog — the reference
+    * delegates ALL analysis to Elasticsearch's configured analyzer,
+    * `/root/reference/monstache.go:46` pipes documents to ES verbatim and
+    * the BSON→JSON encoder passes arbitrary UTF-8 through untouched,
+    * `/root/reference/monstachemap/encoding.go:113-138`).
+    *
+    * Two implementations, both deterministic and locale-pinned:
+    *  - [[Analyzer.Ascii]] — `[a-z0-9]+` runs; the SQL-dialect-pinned
+    *    analyzer every relational oracle twin reproduces byte-for-byte.
+    *  - [[Analyzer.Unicode]] — `[\p{L}\p{N}]+` code-point runs after
+    *    `toLowerCase(Locale.ROOT)`; the DEFAULT for index builds, so
+    *    non-ASCII pages (CJK, Cyrillic, Arabic, accented Latin — the
+    *    majority of a Common-Crawl corpus) are searchable. On pure-ASCII
+    *    text the two produce identical output, so ASCII-corpus oracles are
+    *    byte-stable under either.
+    *
+    * Case objects are Serializable — safe to capture in Spark closures.
+    */
+  sealed trait Analyzer extends Serializable {
+    def name: String
+    def tokenize(text: String): Array[String]
+    final def termFreqs(text: String): Array[(String, Int)] =
+      TextPrep.termFreqsOf(tokenize(text))
+    final def termFreqsWithPositions(text: String): Array[(String, Int, Array[Int])] =
+      TextPrep.termFreqsWithPositionsOf(tokenize(text))
+    final def doclen(text: String): Int = tokenize(text).length
+  }
+
+  object Analyzer {
+    /** Resolve a recorded analyzer name (the `indexDir/meta` row). */
+    def apply(name: String): Analyzer = name match {
+      case "ascii"   => Ascii
+      case "unicode" => Unicode
+      case other     => throw new IllegalArgumentException(s"unknown analyzer: $other")
+    }
+
+    case object Ascii extends Analyzer {
+      val name = "ascii"
+      def tokenize(text: String): Array[String] = TextPrep.tokenize(text)
+    }
+
+    case object Unicode extends Analyzer {
+      val name = "unicode"
+      def tokenize(text: String): Array[String] = TextPrep.tokenizeUnicode(text)
+    }
+  }
+
   /** Tokenize: lowercase, split on runs of non-[a-z0-9].
     *
     * Semantics are pinned to the SQL-expressible form
@@ -141,14 +188,65 @@ object TextPrep {
     out.toArray
   }
 
+  /** Unicode-aware tokenize: `toLowerCase(Locale.ROOT)`, then split on runs
+    * of non-(letter|number) CODE POINTS — `\p{L}` (Lu/Ll/Lt/Lm/Lo) and
+    * `\p{N}` (Nd/Nl/No), the RE2∩Java character-class intersection, so the
+    * DuckDB oracle `regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')`
+    * is byte-comparable. Dialect pin (golden-tested in TextPrepSpec):
+    * fixtures stay inside the case-mapping intersection of
+    * `java.lang.String.toLowerCase(Locale.ROOT)` and utf8proc — i.e. no
+    * Turkish dotted İ (Java expands to i + U+0307; utf8proc maps to plain
+    * i) and no uppercase Σ (Java applies final-sigma context; utf8proc does
+    * not). CJK, Cyrillic, Greek-lowercase, accented Latin, ß, and all Nd
+    * digits map identically under both.
+    *
+    * ASCII fast path: post-lowercase ASCII is word iff [a-z0-9], so ASCII
+    * text never pays the code-point decode — the build-throughput hot loop
+    * is unchanged on an English corpus, and output on pure-ASCII input is
+    * IDENTICAL to [[tokenize]].
+    */
+  def tokenizeUnicode(text: String): Array[String] = {
+    val lower = text.toLowerCase(Locale.ROOT)
+    val out   = mutable.ArrayBuffer.empty[String]
+    val sb    = new java.lang.StringBuilder(16)
+    var i     = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (c < 0x80) {
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+        else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+        i += 1
+      } else {
+        val cp = lower.codePointAt(i)
+        if (isWordCp(cp)) sb.appendCodePoint(cp)
+        else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+        i += Character.charCount(cp)
+      }
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** `\p{L}` ∪ `\p{N}` by Unicode general category (matches RE2's classes:
+    * isLetter covers Lu/Ll/Lt/Lm/Lo; N = Nd ∪ Nl ∪ No — NOT `isDigit`,
+    * which is Nd-only).
+    */
+  private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+    }
+
   /** Per-doc term frequencies — within-doc aggregation happens here, in the
     * flatMap, so the build's first shuffle already carries (term, docId, tf)
     * rows instead of raw token streams (map-side pre-aggregation).
     */
-  def termFreqs(text: String): Array[(String, Int)] = {
-    val toks = tokenize(text)
-    val m    = mutable.LinkedHashMap.empty[String, Int]
-    var i    = 0
+  def termFreqs(text: String): Array[(String, Int)] = termFreqsOf(tokenize(text))
+
+  private[textprep] def termFreqsOf(toks: Array[String]): Array[(String, Int)] = {
+    val m = mutable.LinkedHashMap.empty[String, Int]
+    var i = 0
     while (i < toks.length) { m.update(toks(i), m.getOrElse(toks(i), 0) + 1); i += 1 }
     m.toArray
   }
@@ -160,10 +258,13 @@ object TextPrep {
     * (positions = true)`). Term order is identical to `termFreqs`
     * (first-occurrence order); positions are ascending by construction.
     */
-  def termFreqsWithPositions(text: String): Array[(String, Int, Array[Int])] = {
-    val toks = tokenize(text)
-    val m    = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
-    var i    = 0
+  def termFreqsWithPositions(text: String): Array[(String, Int, Array[Int])] =
+    termFreqsWithPositionsOf(tokenize(text))
+
+  private[textprep] def termFreqsWithPositionsOf(
+      toks: Array[String]): Array[(String, Int, Array[Int])] = {
+    val m = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
+    var i = 0
     while (i < toks.length) {
       m.getOrElseUpdate(toks(i), mutable.ArrayBuffer.empty[Int]) += i
       i += 1

@@ -199,6 +199,28 @@ object PlanCheck {
       wants = Seq("BroadcastHashJoin"),
       rejects = Seq("SortMergeJoin", "CartesianProduct"))
 
+    // 9f. round-5 forward-index sidecar: significant_terms' foreground
+    // incidence and _termvectors serve from the (docId, term, tf) sidecar —
+    // the full-postings decode is GONE. Structural assertion: the sidecar
+    // is scanned, the corpus is not, and EVERY remaining postings scan in
+    // the plan is term-pruned (the un-pruned all-terms scan was the round-4
+    // flagged plan).
+    def scansPruned(plan: String, table: String, want: String): Boolean = {
+      val chunks = plan.split("Scan parquet")
+      chunks.drop(1).forall(c => !c.contains(s"/$table]") || c.contains(want))
+    }
+    val stPlan = graft.query.IndexSearch.significantTerms(spark, idx, graft.RefQueries.set)
+      .queryExecution.explainString(fmt)
+    check("significant_terms fg via forward sidecar (no corpus, sidecar scanned)",
+      stPlan, wants = Seq("termvectors"), rejects = Seq("documents.parquet"))
+    println("CHECK want 'every postings scan in sig-terms plan term-pruned': " +
+      (if (scansPruned(stPlan, "postings", "In(term")) "OK" else "MISSING"))
+    val tvPlan = graft.query.IndexSearch.termVectors(spark, idx)
+      .queryExecution.explainString(fmt)
+    check("_termvectors sidecar point read (In(docId) pushdown, postings cold)",
+      tvPlan, wants = Seq("PushedFilters: [In(docId"),
+      rejects = Seq("documents.parquet", "postings"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
