@@ -87,6 +87,38 @@ object BenchServe {
     }
     val thrAppend = (appendBatches * appendPerBatch).toDouble / appendSec
 
+    // ---- tombstone-heavy serving (round-5 row): kill 40% of the corpus
+    // by predicate delete, pad the tombstones table to 1e6 rows (a foreign
+    // id range — the reader must shrug off TABLE size, not just kill
+    // count), then serving p95 pre-compaction (lazy per-bucket tombstone
+    // arrays) vs post-compaction. The pre/post ratio bounds what deferred
+    // compaction costs a serving tier.
+    import org.apache.spark.sql.functions.{col, lit}
+    val totalDocs = benchDocs + appendBatches * appendPerBatch
+    val tombKill = totalDocs * 2 / 5
+    graft.streaming.StreamIngest.deleteByQuery(s, idxDir, col("docId") < tombKill,
+      snapshotId = 200)
+    val pad = 1000000L - tombKill
+    if (pad > 0)
+      s.range(10000000L, 10000000L + pad)
+        .select(col("id").as("docId"), lit(201L).as("snapshotId"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$idxDir/tombstones")
+    val readerPre = new QueryEngine.IndexReader(s, idxDir)
+    readerPre.topKServe(benchQueries, 10) // warm (loads per-bucket tombstone arrays)
+    val latPre = (1 to 10).flatMap { _ =>
+      benchQueries.map { q => time(readerPre.topKServe(Seq(q), 10))._2 }
+    }.sorted
+    val p95TombPre = latPre((latPre.size * 95 / 100).min(latPre.size - 1))
+    readerPre.close()
+    val (_, compactSec) = time(graft.streaming.StreamIngest.compact(s, idxDir))
+    val readerPost = new QueryEngine.IndexReader(s, idxDir)
+    readerPost.topKServe(benchQueries, 10)
+    val latPost = (1 to 10).flatMap { _ =>
+      benchQueries.map { q => time(readerPost.topKServe(Seq(q), 10))._2 }
+    }.sorted
+    val p95TombPost = latPost((latPost.size * 95 / 100).min(latPost.size - 1))
+    readerPost.close()
+
     // headline SparkEntry queries on the harness sf dir — two runs each,
     // min-of-2 (first touch pays the one-time IndexCache build; the min
     // measures the query) with BOTH runs published
@@ -108,7 +140,9 @@ object BenchServe {
       .mkString("{", ",", "}")
     val servReps = latServe.map(v => f"$v%.4f").mkString("[", ",", "]")
     val distReps = latDist.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val tombPreReps = latPre.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val tombPostReps = latPost.map(v => f"$v%.4f").mkString("[", ",", "]")
     println(
-      f"""BENCHSERVE-FRAGMENT "queries":$qs,"query_reps":$qreps,"q_protocol":"min_of_2","append_docs_per_sec":$thrAppend%.1f,"query_p95_sec":$p95%.3f,"query_p95_dist_sec":$p95Dist%.3f,"query_serve_reps_sorted":$servReps,"query_dist_reps_sorted":$distReps""")
+      f"""BENCHSERVE-FRAGMENT "queries":$qs,"query_reps":$qreps,"q_protocol":"min_of_2","append_docs_per_sec":$thrAppend%.1f,"query_p95_sec":$p95%.3f,"query_p95_dist_sec":$p95Dist%.3f,"query_serve_reps_sorted":$servReps,"query_dist_reps_sorted":$distReps,"tombstones":{"entries":1000000,"killed":$tombKill,"p95_pre_compact_sec":$p95TombPre%.4f,"p95_post_compact_sec":$p95TombPost%.4f,"compact_sec":$compactSec%.1f,"reps_pre_sorted":$tombPreReps,"reps_post_sorted":$tombPostReps}""")
   }
 }

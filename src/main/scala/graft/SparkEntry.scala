@@ -515,6 +515,16 @@ object SparkEntry {
       // kept vs dropped under the 300-byte cap
       Multimodal.oversizeReport(Multimodal.mixedPayload(s, d), maxBytes = 300)
         .orderBy("kind")),
+    "q_scroll_export" -> ((s, d) => {
+      // snapshot-pinned scroll: a 3-page cursor chain over the docs table
+      // (docId-ordered, pushdown-paged) ≡ the first 120 docs of a deep
+      // export at the same snapshot
+      val idx = IndexCache.forDocuments(s, d)
+      graft.query.Scroll.export(s, idx, nPages = 3, pageSize = 40)
+        .select(col("page"), col("docId").as("doc_id"),
+          col("doclen").cast("long").as("doclen"))
+        .orderBy("doc_id")
+    }),
     "q_doc_meta_routing" -> ((s, d) => {
       // per-doc meta override channel (parseIndexMeta, monstache.go:1080-
       // 1103): per (target index, routing group) — doc count, number of
@@ -2157,6 +2167,12 @@ object SparkEntry {
         |  sum(CASE WHEN byte_len > 300 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
         |  max(CASE WHEN byte_len <= 300 THEN byte_len END)::BIGINT AS max_kept_bytes
         |FROM p GROUP BY kind ORDER BY kind""".stripMargin,
+    "q_scroll_export" ->
+      s"""WITH $TOK, $DL,
+         |alldl AS (SELECT d.doc_id, coalesce(dl.doclen, 0)::BIGINT AS doclen
+         |          FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+         |e AS (SELECT doc_id, doclen, (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM alldl)
+         |SELECT (rn // 40)::INT AS page, doc_id, doclen FROM e WHERE rn < 120 ORDER BY doc_id""".stripMargin,
     // meta override channel: targets/routing/skip re-derived from the
     // fixture rules; n_buckets = ceil(n/32) because routing groups get
     // CONTIGUOUS docId sub-ranges (co-location verified physically)

@@ -61,8 +61,9 @@ object IndexSearch {
   def matchedDocs(spark: SparkSession, indexDir: String,
       queries: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val qTerms: Seq[(String, Array[String])] =
-      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct }
+      queries.map { case (qid, text) => qid -> an.tokenize(text).distinct }
     val allTerms = qTerms.flatMap(_._2).distinct
     if (allTerms.isEmpty)
       return spark.emptyDataset[(String, Long)].toDF("query_id", "doc_id")
@@ -109,8 +110,9 @@ object IndexSearch {
   def constantScoreTopK(spark: SparkSession, indexDir: String,
       queries: Seq[(String, String)], boost: Double = 1.0, k: Int = 10): DataFrame = {
     import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val qTerms: Seq[(String, Array[String])] =
-      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct }
+      queries.map { case (qid, text) => qid -> an.tokenize(text).distinct }
     val allTerms = qTerms.flatMap(_._2).distinct
     if (allTerms.isEmpty)
       return spark.emptyDataset[(String, Long)].toDF("query_id", "doc_id")
@@ -219,8 +221,9 @@ object IndexSearch {
       .select(col("doc_id").cast("long"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val stats = QueryEngine.loadStats(spark, indexDir)
+    val anM = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val seedTfs: Array[(Long, Array[(String, Int)])] =
-      seeds.map { case (id, text) => id -> TextPrep.termFreqs(text) }
+      seeds.map { case (id, text) => id -> anM.termFreqs(text) }
     val allTerms = seedTfs.flatMap(_._2.map(_._1)).distinct.toSeq
     val dict = QueryEngine.loadTermStats(spark, indexDir, allTerms)
     // top-nTerms per seed by tf·idf with the oracle's total tie-break
@@ -388,8 +391,9 @@ object IndexSearch {
   def scoredMatches(spark: SparkSession, indexDir: String,
       queries: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val qTerms: Seq[(String, Array[String])] =
-      queries.map { case (qid, text) => qid -> TextPrep.tokenize(text).distinct.sorted }
+      queries.map { case (qid, text) => qid -> an.tokenize(text).distinct.sorted }
     val allTerms = qTerms.flatMap(_._2).distinct
     val empty = spark.emptyDataset[(String, Long, Double, Double, Long)]
       .toDF("query_id", "doc_id", "score", "max_addend", "matched")
@@ -555,11 +559,12 @@ object IndexSearch {
       boolQs: Seq[(String, String, String, String)] = SearchOps.BoolQueries,
       k: Int = 10): DataFrame = {
     import spark.implicits._
+    val anB = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val mustQs = boolQs.map(q => (q._1, q._2))
-    val shouldQs = boolQs.filter(q => TextPrep.tokenize(q._3).nonEmpty).map(q => (q._1, q._3))
-    val notQs = boolQs.filter(q => TextPrep.tokenize(q._4).nonEmpty).map(q => (q._1, q._4))
+    val shouldQs = boolQs.filter(q => anB.tokenize(q._3).nonEmpty).map(q => (q._1, q._3))
+    val notQs = boolQs.filter(q => anB.tokenize(q._4).nonEmpty).map(q => (q._1, q._4))
     val arity = boolQs.map { case (qid, m, _, _) =>
-      (qid, TextPrep.tokenize(m).distinct.length.toLong)
+      (qid, anB.tokenize(m).distinct.length.toLong)
     }.toDF("query_id", "n_must")
 
     val m = scoredMatches(spark, indexDir, mustQs)
@@ -743,8 +748,9 @@ object IndexSearch {
   def explainScore(spark: SparkSession, indexDir: String,
       queries: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
+    val anE = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     val qTerms = queries.map { case (qid, text) =>
-      qid -> TextPrep.tokenize(text).distinct.sorted
+      qid -> anE.tokenize(text).distinct.sorted
     }
     val allTerms = qTerms.flatMap(_._2).distinct
     val stats = QueryEngine.loadStats(spark, indexDir)

@@ -62,6 +62,26 @@ object QueryEngine {
     else Set.empty
   }
 
+  /** Immutable Set[Long] view over a sorted primitive array — O(log n)
+    * membership with no per-element boxing/hash-set footprint. The serving
+    * reader's per-bucket tombstone representation.
+    */
+  private[query] final class SortedDocSet(sorted: Array[Long])
+      extends scala.collection.immutable.Set[Long] {
+    override def contains(d: Long): Boolean =
+      java.util.Arrays.binarySearch(sorted, d) >= 0
+    override def iterator: Iterator[Long] = sorted.iterator
+    override def incl(e: Long): Set[Long] = sorted.toSet + e
+    override def excl(e: Long): Set[Long] = sorted.toSet - e
+    override def size: Int = sorted.length
+  }
+
+  private[query] def deadForBucket(m: Map[Int, Array[Long]], bucket: Int): Set[Long] =
+    m.get(bucket) match {
+      case Some(a) => new SortedDocSet(a)
+      case None    => Set.empty
+    }
+
   private def tombstonesDF(spark: SparkSession, indexDir: String): Option[org.apache.spark.sql.DataFrame] = {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombPath))
@@ -487,10 +507,41 @@ object QueryEngine {
     import spark.implicits._
     val stats: CorpusStats = loadStats(spark, indexDir)
     private val analyzer = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
-    // tombstones pinned at reader construction (same snapshot discipline as
-    // stats): serving paths must never surface a replaced doc pre-compaction
-    private val tombstones: Set[Long] = loadTombstones(spark, indexDir)
-    private val tombB = spark.sparkContext.broadcast(tombstones)
+    // Tombstones as PER-BUCKET sorted docId arrays, loaded lazily on the
+    // first query (the term-cache discipline): reader construction does no
+    // tombstone work — the old eager Set[Long] cost a full collect +
+    // broadcast in the constructor, linear in tombstone count, before the
+    // first request could be served. Bucket mapping is pure arithmetic on
+    // the lineage table's per-bucket docId ranges (O(buckets) read, no
+    // docs-table join); membership is primitive binary search per bucket
+    // (no per-candidate boxing/hashing of a 10^6-element hash set). One
+    // read, memoized — the snapshot pin discipline of stats is kept.
+    private lazy val tombByBucket: Map[Int, Array[Long]] = {
+      if (!graft.index.IndexBuilder.exists(spark, s"$indexDir/tombstones")) Map.empty
+      else {
+        val ranges = spark.read.parquet(s"$indexDir/lineage")
+          .groupBy(col("partitionId"))
+          .agg(org.apache.spark.sql.functions.min("docIdMin").as("lo"),
+            org.apache.spark.sql.functions.max("docIdMax").as("hi"))
+          .select(col("partitionId").cast("int"), col("lo").cast("long"), col("hi").cast("long"))
+          .as[(Int, Long, Long)].collect().sortBy(_._2)
+        val los = ranges.map(_._2)
+        val ids = spark.read.parquet(s"$indexDir/tombstones")
+          .select(col("docId").cast("long")).distinct().as[Long].collect()
+        val grouped = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuilder.ofLong]
+        ids.foreach { d =>
+          var i = java.util.Arrays.binarySearch(los, d)
+          if (i < 0) i = -i - 2
+          // a tombstone outside every posting range suppresses nothing
+          if (i >= 0 && i < ranges.length && d >= ranges(i)._2 && d <= ranges(i)._3)
+            grouped.getOrElseUpdate(ranges(i)._1, new scala.collection.mutable.ArrayBuilder.ofLong) += d
+        }
+        grouped.iterator.map { case (b, ab) =>
+          val a = ab.result(); java.util.Arrays.sort(a); b -> a
+        }.toMap
+      }
+    }
+    private lazy val tombB = spark.sparkContext.broadcast(tombByBucket)
     private val postings = spark.read.parquet(s"$indexDir/postings")
       .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
         col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
@@ -530,13 +581,14 @@ object QueryEngine {
         .filter(col("term").isin(allTerms: _*))
         .as[TermPostings]
         .groupByKey(_.bucket)
-        .flatMapGroups { (_, rows) =>
+        .flatMapGroups { (b, rows) =>
           val byTerm: Map[String, TermPostings] = rows.map(tp => tp.term -> tp).toMap
           val ts = tstatsB.value
+          val dead = QueryEngine.deadForBucket(tomb.value, b)
           qTermsB.value.iterator.flatMap { case (qid, terms) =>
             val present = terms.filter(byTerm.contains)
             if (present.isEmpty) Iterator.empty
-            else wandBucket(qid, present, byTerm, ts, n, avgdl, k, tomb.value).iterator
+            else wandBucket(qid, present, byTerm, ts, n, avgdl, k, dead).iterator
           }
         }
       val w = org.apache.spark.sql.expressions.Window
@@ -589,10 +641,11 @@ object QueryEngine {
             .flatMap(t => termRows(t))
             .groupBy(_.bucket)
             .map { case (b, rows) => b -> rows.map(tp => tp.term -> tp).toMap }
-          val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (_, byTerm) =>
+          val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (b, byTerm) =>
             val inBucket = present.filter(byTerm.contains)
             if (inBucket.isEmpty) Nil
-            else wandBucket(qid, inBucket, byTerm, tstats, n, avgdl, k, tombstones)
+            else wandBucket(qid, inBucket, byTerm, tstats, n, avgdl, k,
+              QueryEngine.deadForBucket(tombByBucket, b))
           }
           candidates.sortBy(c => (-c.score, c.docId)).take(k)
             .zipWithIndex.map { case (c, i) => c.copy(rank = i + 1) }
@@ -620,9 +673,10 @@ object QueryEngine {
             .flatMap(t => termRows(t))
             .groupBy(_.bucket)
             .map { case (b, rows) => b -> rows.map(tp => tp.term -> tp).toMap }
-          val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (_, byTerm) =>
+          val candidates = byBucket.toSeq.sortBy(_._1).flatMap { case (b, byTerm) =>
             if (!terms.forall(byTerm.contains)) Nil
-            else conjunctiveBucket(qid, terms, byTerm, tstats, n, avgdl, k, tombstones)
+            else conjunctiveBucket(qid, terms, byTerm, tstats, n, avgdl, k,
+              QueryEngine.deadForBucket(tombByBucket, b))
           }
           candidates.sortBy(c => (-c.score, c.docId)).take(k)
             .zipWithIndex.map { case (c, i) => c.copy(rank = i + 1) }

@@ -49,9 +49,9 @@ object QueryString {
     * punctuation is eaten by the analyzer; unbalanced quotes leave the tail
     * unquoted, like ES's lenient mode).
     */
-  def parse(q: String): Parsed = {
+  def parse(q: String, analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Ascii): Parsed = {
     val phrases = PhraseRe.findAllMatchIn(q).map(_.group(1)).toSeq
-      .map(p => TextPrep.tokenize(p).mkString(" "))
+      .map(p => analyzer.tokenize(p).mkString(" "))
       .filter(_.nonEmpty)
     val rest = PhraseRe.replaceAllIn(q, " ")
     var must = Vector.empty[String]
@@ -63,7 +63,7 @@ object QueryString {
         case '-' => ('n', raw.substring(1))
         case _   => ('s', raw)
       }
-      val terms = TextPrep.tokenize(body)
+      val terms = analyzer.tokenize(body)
       bucket match {
         case 'm' => must ++= terms
         case 'n' => not ++= terms
@@ -88,9 +88,10 @@ object QueryString {
   /** (probe_id, phrase text) pairs for all queries' phrase clauses; probe_id
     * = `<qid>_<i>` so both twins and the oracle derive the same ids.
     */
-  def phraseProbes(queries: Seq[(String, String)]): Seq[(String, String)] =
+  def phraseProbes(queries: Seq[(String, String)],
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Ascii): Seq[(String, String)] =
     queries.flatMap { case (qid, q) =>
-      parse(q).phrases.zipWithIndex.map { case (ph, i) => (s"${qid}_$i", ph) }
+      parse(q, analyzer).phrases.zipWithIndex.map { case (ph, i) => (s"${qid}_$i", ph) }
     }
 
   private def termPairs(queries: Seq[(String, String)],
@@ -135,8 +136,11 @@ object QueryString {
     */
   def topKIndex(spark: SparkSession, indexDir: String, posDir: String,
       queries: Seq[(String, String)] = QueryStrings, k: Int = 10): DataFrame = {
+    // clause text parses with the index's RECORDED analyzer (non-ASCII
+    // clauses survive on a unicode-analyzed index; identical on ASCII)
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
     def asQueryTexts(sel: Parsed => Seq[String]): Seq[(String, String)] =
-      queries.map { case (qid, q) => (qid, sel(parse(q)).mkString(" ")) }
+      queries.map { case (qid, q) => (qid, sel(parse(q, an)).mkString(" ")) }
         .filter(_._2.nonEmpty)
     val mustScored = IndexSearch.scoredMatches(spark, indexDir, asQueryTexts(_.must))
       .select(col("query_id"), col("doc_id"), col("score").as("must_score"),
@@ -144,14 +148,14 @@ object QueryString {
     val shouldScored = IndexSearch.scoredMatches(spark, indexDir, asQueryTexts(_.should))
       .select(col("query_id"), col("doc_id"), col("score").as("should_score"))
     val banned = IndexSearch.matchedDocs(spark, indexDir, asQueryTexts(_.not))
-    val probes = phraseProbes(queries)
+    val probes = phraseProbes(queries, an)
     val phraseHits =
       if (probes.isEmpty) {
         import spark.implicits._
         spark.emptyDataset[(String, Long)].toDF("phrase_id", "doc_id")
-      } else graft.index.Positions.phraseMatch(spark, posDir, probes)
+      } else graft.index.Positions.phraseMatch(spark, posDir, probes, analyzer = an)
         .select("phrase_id", "doc_id")
-    assemble(spark, queries, mustScored, shouldScored, banned, phraseHits, k)
+    assemble(spark, queries, mustScored, shouldScored, banned, phraseHits, k, an)
   }
 
   private def emptyScored(spark: SparkSession, scoreName: String,
@@ -172,9 +176,10 @@ object QueryString {
     */
   private[query] def assemble(spark: SparkSession, queries: Seq[(String, String)],
       mustScored: DataFrame, shouldScored: DataFrame, banned: DataFrame,
-      phraseHits: DataFrame, k: Int): DataFrame = {
+      phraseHits: DataFrame, k: Int,
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Ascii): DataFrame = {
     import spark.implicits._
-    val parsed = queries.map { case (qid, q) => (qid, parse(q)) }
+    val parsed = queries.map { case (qid, q) => (qid, parse(q, analyzer)) }
     val arity = parsed.collect { case (qid, p) if p.must.nonEmpty =>
       (qid, p.must.length.toLong)
     }.toDF("query_id", "n_must")

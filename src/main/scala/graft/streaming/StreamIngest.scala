@@ -438,6 +438,10 @@ object StreamIngest {
       Seq(CorpusStats(n, tot.toDouble / math.max(1L, n).toDouble, tot, snapshotId)).toDS()
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
       refreshDocMeta(spark, indexDir, n, tot)
+      // deletes are snapshot commits too: a Scroll cursor opened after this
+      // delete pins a view that excludes the victims (tombstone rows carry
+      // this snapshotId), one opened before keeps them
+      IndexBuilder.commitSnapshot(spark, indexDir, snapshotId, n)
     }
     c
   }

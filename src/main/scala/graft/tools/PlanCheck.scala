@@ -221,6 +221,15 @@ object PlanCheck {
       tvPlan, wants = Seq("PushedFilters: [In(docId"),
       rejects = Seq("documents.parquet", "postings"))
 
+    // 9g. scroll page: docId low-bound pushed to the docs scan (row-group
+    // pruning), bucket visibility as a partition filter, TakeOrdered for
+    // the page limit — deep pagination costs O(page), never O(corpus)
+    val scrollCur = graft.query.Scroll.open(spark, idx)
+    val scrollRows = graft.query.Scroll.pagePlan(spark, idx, scrollCur, 25)
+    check("scroll page pushdown + TakeOrdered", scrollRows.queryExecution.explainString(fmt),
+      wants = Seq("GreaterThan(docId", "PartitionFilters: [dbucket", "TakeOrderedAndProject"),
+      rejects = Seq("documents.parquet", "Exchange rangepartitioning"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString

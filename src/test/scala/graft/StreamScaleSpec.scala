@@ -79,6 +79,16 @@ class StreamScaleSpec extends SparkSpecBase {
     val preHits = QueryEngine.topK(spark, dir, Seq("q" -> "the data"), 10).collect()
     assert(preHits.length === 10 && preHits.forall(_.docId >= 100000L),
       "tombstoned docs surfaced through the pre-compaction query path")
+    // serving reader over the same 1e6-tombstone index: construction does
+    // no tombstone work (lazy per-bucket sorted arrays load on the first
+    // query); serve results must equal the distributed path exactly
+    val reader = new QueryEngine.IndexReader(spark, dir)
+    val served = reader.topKServe(Seq("q" -> "the data"), 10)
+      .map(r => (r.queryId, r.rank, r.docId, r.score))
+    assert(served === preHits.sortBy(r => (r.queryId, r.rank))
+      .map(r => (r.queryId, r.rank, r.docId, r.score)).toSeq,
+      "1e6-tombstone serving path diverged from the distributed path")
+    reader.close()
     StreamIngest.compact(spark, dir)
     assert(!new java.io.File(s"$dir/tombstones").exists())
     val docs = spark.read.parquet(s"$dir/docs")
