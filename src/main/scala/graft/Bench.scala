@@ -151,11 +151,12 @@ object Bench {
     // VM swing up to 3x with neighbor load — min-of-reps needs samples.
     val execDocs = sys.env.getOrElse("SPARK_GRAFT_EXEC_DOCS", "1000000").toLong
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096").toInt
-    // 8 reps: the 4x2 level swings up to ~3x with neighbor load on this VM
+    // 10 reps: the 4x2 level swings up to ~3x with neighbor load on this VM
     // (see reps_high_docs_per_sec in any recorded artifact) while 1x2 is
-    // stable — min-of-reps needs enough samples to catch a quiet window;
-    // the 0.623-efficiency dev2 artifact was recorded at 8
-    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "8").toInt
+    // stable — the steal-gated paired estimator needs enough rounds for a
+    // clean pair to land in a quiet window (r4's 8-round artifact had 4
+    // clean rounds; +2 rounds costs ~5 min and buys two more draws)
+    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "10").toInt
     // (executors, coresPerExecutor) at the two cluster sizes. Default
     // 1x2→4x2, chosen empirically over the symmetric 2x1→8x1: the
     // 1-executor low level fetches its own shuffle output process-locally

@@ -724,10 +724,17 @@ object IndexBuilder {
           }
         }
         val termArr = acc.keySet().toArray(new Array[String](acc.size()))
-        // code-point order = UTF-8 byte order (Spark's UTF8String order);
-        // plain String.compareTo is UTF-16-unit order, which diverges for
-        // supplementary characters a Unicode-analyzed corpus can contain
-        java.util.Arrays.sort(termArr, codePointOrder)
+        // code-point order = UTF-8 byte order (Spark's UTF8String order).
+        // String.compareTo (UTF-16-unit order, a vectorized JIT intrinsic)
+        // equals code-point order unless a supplementary char (surrogate
+        // pair) is compared against a BMP char ≥ U+E000 — only possible
+        // when the vocabulary contains BOTH kinds. One cheap scan picks the
+        // intrinsic sort on every realistic corpus (ASCII/BMP) and the
+        // exact comparator only when the collision is actually possible.
+        if (needsCodePointSort(termArr))
+          java.util.Arrays.sort(termArr, codePointOrder)
+        else
+          java.util.Arrays.sort(termArr.asInstanceOf[Array[AnyRef]])
         pending = termArr.iterator.map { t =>
           val a = acc.get(t)
           val docIds = a.docIds
@@ -739,6 +746,28 @@ object IndexBuilder {
         }
       }
     }
+
+  /** compareTo diverges from code-point order only when some term carries
+    * a surrogate (supplementary plane) AND some term carries a BMP char in
+    * [U+E000, U+FFFF]; one early-exit scan decides.
+    */
+  private[graft] def needsCodePointSort(terms: Array[String]): Boolean = {
+    var hasSurrogate = false
+    var hasHighBmp = false
+    var t = 0
+    while (t < terms.length && !(hasSurrogate && hasHighBmp)) {
+      val s = terms(t)
+      var i = 0
+      while (i < s.length && !(hasSurrogate && hasHighBmp)) {
+        val c = s.charAt(i)
+        if (c >= 0xd800 && c <= 0xdfff) hasSurrogate = true
+        else if (c >= 0xe000) hasHighBmp = true
+        i += 1
+      }
+      t += 1
+    }
+    hasSurrogate && hasHighBmp
+  }
 
   /** UTF-8-byte (= code-point) String ordering: compareTo except that a
     * high surrogate (a supplementary code point, ≥ U+10000) outranks any

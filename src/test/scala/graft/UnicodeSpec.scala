@@ -62,6 +62,35 @@ class UnicodeSpec extends SparkSpecBase {
     }
   }
 
+  test("needsCodePointSort: intrinsic sort unless supplementary AND high-BMP coexist") {
+    import IndexBuilder.needsCodePointSort
+    assert(!needsCodePointSort(Array("plain", "ascii", "привет", "中文")))
+    assert(!needsCodePointSort(Array("𐐨deseret", "ascii"))) // surrogates only
+    assert(!needsCodePointSort(Array("ﬀligature", "ascii"))) // high BMP only
+    assert(needsCodePointSort(Array("𐐨deseret", "ﬀligature"))) // both → exact comparator
+    // and when both coexist, the comparator path equals UTF-8 byte order
+    val terms = Array("ﬀab", "𐐨xy", "za", "中文", "ascii")
+    val sorted = terms.clone()
+    java.util.Arrays.sort(sorted, IndexBuilder.codePointOrder)
+    val byBytes = terms.sortBy(s =>
+      new String(s.getBytes(StandardCharsets.UTF_8), StandardCharsets.ISO_8859_1))
+    assert(sorted.toSeq === byBytes.toSeq)
+  }
+
+  test("supplementary-plane terms index and query end-to-end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("supp-idx").toString
+    val texts = Seq("𐐨𐐮 deseret page spark", "ﬀ ligature page data", "plain page about spark")
+    val pages = texts.zipWithIndex.map { case (t, i) =>
+      PageDoc(s"https://s.example/$i", new Timestamp(1735689600000L + i * 1000L),
+        ("<html><body>" + t + "</body></html>").getBytes(StandardCharsets.UTF_8), t, "mul")
+    }
+    IndexBuilder.build(spark, spark.createDataset(pages), dir, IndexBuilder.Config(numBuckets = 2))
+    val got = QueryEngine.topK(spark, dir, Seq("s1" -> "𐐨𐐮", "s2" -> "ﬀ"), 5).collect()
+    assert(got.count(_.queryId == "s1") === 1)
+    assert(got.count(_.queryId == "s2") === 1)
+  }
+
   private def uniPages: Seq[PageDoc] = {
     val texts = Seq(
       "Привет мир данные поиска Spark индекс",
