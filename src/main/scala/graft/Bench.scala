@@ -151,6 +151,20 @@ object Bench {
     // VM swing up to 3x with neighbor load — min-of-reps needs samples.
     val execDocs = sys.env.getOrElse("SPARK_GRAFT_EXEC_DOCS", "1000000").toLong
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096").toInt
+    // dev A/B: SPARK_GRAFT_EXEC_MEMS="4096,6144:parallel" interleaves
+    // (per-executor memory[:gc]) arms WITHIN each round (same host-load
+    // window for every arm, so cross-arm comparisons are paired) — the
+    // artifact's headline block always uses the first arm
+    val execGc = sys.env.getOrElse("SPARK_GRAFT_EXEC_GC", "g1")
+    val execArms: Seq[(Int, String)] =
+      sys.env.get("SPARK_GRAFT_EXEC_MEMS")
+        .map(_.split(",").toSeq.map { a =>
+          a.trim.split(":") match {
+            case Array(m)     => (m.toInt, execGc)
+            case Array(m, gc) => (m.toInt, gc)
+          }
+        })
+        .getOrElse(Seq((execMemMb, execGc)))
     // 10 reps: the 4x2 level swings up to ~3x with neighbor load on this VM
     // (see reps_high_docs_per_sec in any recorded artifact) while 1x2 is
     // stable — the steal-gated paired estimator needs enough rounds for a
@@ -172,12 +186,20 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_EXEC_LAYOUTS", "1x2,4x2").split(",").toSeq
         .map { s => val Array(e, c) = s.split("x"); (e.toInt, c.toInt) }
     graft.tools.ClusterProf.ensureSparkScalaVersion()
-    def clusterSession(execs: Int, coresPer: Int): SparkSession = {
+    def clusterSession(execs: Int, coresPer: Int, memMb: Int = execMemMb,
+                       gc: String = execGc): SparkSession = {
+      // GC choice per arm: "parallel" (throughput collector — no G1
+      // write/read barriers, compacting young collections; the classic
+      // batch-job pick) vs "g1" (the JVM default)
+      val gcFlag = gc match {
+        case "parallel" => " -XX:+UseParallelGC"
+        case _          => ""
+      }
       val s = SparkSession.builder()
-        .master(s"local-cluster[$execs,$coresPer,$execMemMb]")
+        .master(s"local-cluster[$execs,$coresPer,$memMb]")
         .appName(s"graft-bench-exec-${execs}x$coresPer")
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.memory", s"${execMemMb}m")
+        .config("spark.executor.memory", s"${memMb}m")
         // size each executor JVM's GC/JIT/netty pools for ITS cores, not
         // the host's 32 — without this the 4-executor level runs ~4x23 G1
         // threads (availableProcessors=32 in every JVM) and per-task time
@@ -188,7 +210,7 @@ object Bench {
         // inflation on the shuffle-write stages), a pathology no real
         // deployment has
         .config("spark.executor.extraJavaOptions",
-          s"-XX:ActiveProcessorCount=${math.max(2, coresPer)} -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
+          s"-XX:ActiveProcessorCount=${math.max(2, coresPer)} -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64$gcFlag")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
@@ -230,8 +252,8 @@ object Bench {
     // per-rep spread (loadavg stays ~0 idle; steal is invisible to it).
     // Published per rep as stolen cores so the artifact itself shows which
     // reps were contaminated; min-of-reps then provably picks quiet ones.
-    def execBuildOnce(execs: Int, coresPer: Int): (Double, Double) = {
-      val s = clusterSession(execs, coresPer)
+    def execBuildOnce(execs: Int, coresPer: Int, memMb: Int, gc: String): (Double, Double) = {
+      val s = clusterSession(execs, coresPer, memMb, gc)
       import s.implicits._
       IndexBuilder.build(s,
         Corpus.syntheticDistributed(s, math.min(execDocs, 100000L), seed = 42L,
@@ -247,54 +269,69 @@ object Bench {
       s.stop()
       (sec, stolenCores)
     }
-    val execRuns: Map[(Int, Int), Seq[(Double, Double)]] =
-      (1 to execReps).flatMap { r =>
-        execLayouts.map { case (e, c) => (e, c) -> execBuildOnce(e, c) }
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val execTimes: Map[(Int, Int), Seq[Double]] =
-      execRuns.view.mapValues(_.map(_._1)).toMap
-    val thrExecLow = execDocs.toDouble / execTimes(execLayouts.head).min
-    val thrExecHigh = execDocs.toDouble / execTimes(execLayouts.last).min
-    val execFactor = execLayouts.last._1.toDouble / execLayouts.head._1
-    // cross-rep estimator (each side at its quietest window) — kept as the
-    // continuity number (the r1-r4 headline)
-    val effMinOf = thrExecHigh / (execFactor * thrExecLow)
-    // per-rep arrays (docs/s per rep, run order): the spread IS the
-    // neighbor-load evidence — published in the artifact, not just prose
-    def repsJson(ts: Seq[Double]): String =
-      ts.map(t => f"${execDocs.toDouble / t}%.1f").mkString("[", ",", "]")
-    val execRepsLow = repsJson(execTimes(execLayouts.head))
-    val execRepsHigh = repsJson(execTimes(execLayouts.last))
-    // per-round PAIRED ratios: each round runs low and high back-to-back in
-    // the same host-load window, so the ratio cancels load common to both
-    val pairedEffs = execTimes(execLayouts.head).zip(execTimes(execLayouts.last))
-      .map { case (tl, th) => (execDocs / th) / (execFactor * (execDocs / tl)) }
-    val pairedJson = pairedEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
-    // HEADLINE estimator (self-adjudicating, declared in `protocol`): the
-    // best PAIRED round in which BOTH reps sampled ≤ 0.05 stolen cores.
-    // Rationale: pairing cancels common-mode host load; the hypervisor-
-    // steal gate drops rounds a shared-host neighbor provably contaminated
-    // (a real dedicated cluster has steal ≈ 0 — the gate selects the
-    // windows that look like one); max over clean rounds is the same
-    // order statistic as the min-of-reps wall times used for every other
-    // metric here (noise on this VM only ever subtracts throughput).
-    // Fallback when no round is clean: the cross-rep min-of estimator.
-    val StealGate = 0.05
-    val cleanEffs = execRuns(execLayouts.head).zip(execRuns(execLayouts.last)).zip(pairedEffs)
-      .collect { case (((_, sl), (_, sh)), e) if sl <= StealGate && sh <= StealGate => e }
-    val effExec = if (cleanEffs.nonEmpty) cleanEffs.max else effMinOf
-    val gateNote = if (cleanEffs.nonEmpty) s"clean_rounds=${cleanEffs.length}" else "fallback_min_of"
-    def stealJson(rs: Seq[(Double, Double)]): String =
-      rs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
-    val stealLow = stealJson(execRuns(execLayouts.head))
-    val stealHigh = stealJson(execRuns(execLayouts.last))
-    def execBlockJson: String =
-      f""""executors":{"bench_docs":$execDocs,"mem_mb_per_executor":$execMemMb,"layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"efficiency_min_of":$effMinOf%.3f,"protocol":"paired_best_steal_gated_0.05_of_${execReps}_rounds;$gateNote;fallback=min_of","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh}"""
+    // rounds interleave (mem, gc) arms AND layouts: every arm of a round
+    // runs in the same host-load window, so cross-arm comparisons are paired
+    val allExecRuns: Map[(Int, String), Map[(Int, Int), Seq[(Double, Double)]]] = {
+      val raw = for {
+        _ <- 1 to execReps
+        (mem, gc) <- execArms
+        (e, c) <- execLayouts
+      } yield ((mem, gc), (e, c)) -> execBuildOnce(e, c, mem, gc)
+      raw.groupBy(_._1._1).view.mapValues(
+        _.groupBy(_._1._2).view.mapValues(_.map(_._2)).toMap).toMap
+    }
+    /** One `executors` block (the JSON object, no key) for one (mem, gc) arm. */
+    def execBlockOf(arm: (Int, String)): String = {
+      val (memMb, gc) = arm
+      val execRuns = allExecRuns(arm)
+      val execTimes: Map[(Int, Int), Seq[Double]] =
+        execRuns.view.mapValues(_.map(_._1)).toMap
+      val thrExecLow = execDocs.toDouble / execTimes(execLayouts.head).min
+      val thrExecHigh = execDocs.toDouble / execTimes(execLayouts.last).min
+      val execFactor = execLayouts.last._1.toDouble / execLayouts.head._1
+      // cross-rep estimator (each side at its quietest window) — kept as the
+      // continuity number (the r1-r4 headline)
+      val effMinOf = thrExecHigh / (execFactor * thrExecLow)
+      // per-rep arrays (docs/s per rep, run order): the spread IS the
+      // neighbor-load evidence — published in the artifact, not just prose
+      def repsJson(ts: Seq[Double]): String =
+        ts.map(t => f"${execDocs.toDouble / t}%.1f").mkString("[", ",", "]")
+      val execRepsLow = repsJson(execTimes(execLayouts.head))
+      val execRepsHigh = repsJson(execTimes(execLayouts.last))
+      // per-round PAIRED ratios: each round runs low and high back-to-back in
+      // the same host-load window, so the ratio cancels load common to both
+      val pairedEffs = execTimes(execLayouts.head).zip(execTimes(execLayouts.last))
+        .map { case (tl, th) => (execDocs / th) / (execFactor * (execDocs / tl)) }
+      val pairedJson = pairedEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
+      // HEADLINE estimator (self-adjudicating, declared in `protocol`): the
+      // best PAIRED round in which BOTH reps sampled ≤ 0.05 stolen cores.
+      // Rationale: pairing cancels common-mode host load; the hypervisor-
+      // steal gate drops rounds a shared-host neighbor provably contaminated
+      // (a real dedicated cluster has steal ≈ 0 — the gate selects the
+      // windows that look like one); max over clean rounds is the same
+      // order statistic as the min-of-reps wall times used for every other
+      // metric here (noise on this VM only ever subtracts throughput).
+      // Fallback when no round is clean: the cross-rep min-of estimator.
+      val StealGate = 0.05
+      val cleanEffs = execRuns(execLayouts.head).zip(execRuns(execLayouts.last)).zip(pairedEffs)
+        .collect { case (((_, sl), (_, sh)), e) if sl <= StealGate && sh <= StealGate => e }
+      val effExec = if (cleanEffs.nonEmpty) cleanEffs.max else effMinOf
+      val gateNote = if (cleanEffs.nonEmpty) s"clean_rounds=${cleanEffs.length}" else "fallback_min_of"
+      def stealJson(rs: Seq[(Double, Double)]): String =
+        rs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
+      val stealLow = stealJson(execRuns(execLayouts.head))
+      val stealHigh = stealJson(execRuns(execLayouts.last))
+      f"""{"bench_docs":$execDocs,"mem_mb_per_executor":$memMb,"gc":"$gc","layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"efficiency_min_of":$effMinOf%.3f,"protocol":"paired_best_steal_gated_0.05_of_${execReps}_rounds;$gateNote;fallback=min_of","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh}"""
+    }
+    def execBlockJson: String = s""""executors":${execBlockOf(execArms.head)}"""
 
     if (execOnly) {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(ShmBase)).deleteRecursively()
-      println(s"""{"metric":"exec_only",$execBlockJson}""")
+      if (execArms.size > 1)
+        println(s"""{"metric":"exec_mem_ab","arms":[${execArms.map(execBlockOf).mkString(",")}]}""")
+      else
+        println(s"""{"metric":"exec_only",$execBlockJson}""")
       return
     }
 

@@ -412,12 +412,17 @@ object IndexBuilder {
     // table (one text pass total): explode (term, positions) per doc,
     // bucket-partitioned like the postings ----
     def writePositions(): Unit = phase("positions") {
+      // repartition FAT rows (one per doc), explode AFTER the shuffle:
+      // the network moves |docs| rows with packed arrays, never |tokens|
+      // exploded tuples (~10-20x the shuffle bytes at web doclens); the
+      // term-major sort the phrase reader wants happens partition-locally
       spark.read.parquet(stage)
+        .select(col("bucket"), col("docId"), col("terms"), col("poss"))
+        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .select(col("bucket"), col("docId"),
           explode(arrays_zip(col("terms"), col("poss"))).as("tp"))
         .select(col("bucket"), col("tp.terms").as("term"), col("docId"),
           col("tp.poss").as("positions"))
-        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .sortWithinPartitions("bucket", "term", "docId")
         .withColumn("pbucket", col("bucket"))
         .write.mode(SaveMode.Overwrite)
@@ -432,13 +437,21 @@ object IndexBuilder {
     // (doc, term), bucket-partitioned and docId-sorted so per-doc reads
     // prune to one bucket file and row-group min/max on docId ----
     def writeTermVectors(): Unit = phase("termvectors") {
+      // repartition FAT rows, explode after the shuffle (|docs| rows on
+      // the wire, not |tokens|); the (bucket, docId) shuffle sort is the
+      // final row order already — per-doc term order comes from sorting
+      // each doc's packed array in place (array_sort on struct<terms,tfs>
+      // orders by the first field, UTF8 binary = code-point order, the
+      // same order the terms dictionary uses), so NO post-explode external
+      // sort exists in this plan at all
       spark.read.parquet(stage)
+        .select(col("bucket"), col("docId"), col("terms"), col("tfs"))
+        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
+        .sortWithinPartitions("bucket", "docId")
         .select(col("bucket"), col("docId"),
-          explode(arrays_zip(col("terms"), col("tfs"))).as("tt"))
+          explode(array_sort(arrays_zip(col("terms"), col("tfs")))).as("tt"))
         .select(col("bucket"), col("docId"),
           col("tt.terms").as("term"), col("tt.tfs").as("tf"))
-        .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
-        .sortWithinPartitions("bucket", "docId", "term")
         .withColumn("tvbucket", col("bucket"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
