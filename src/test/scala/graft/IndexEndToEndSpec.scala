@@ -152,6 +152,50 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(onePass.nonEmpty && onePass === twoPass)
   }
 
+  test("sidecar files are internally sorted (row-group pruning contract)") {
+    import org.apache.spark.sql.functions._
+    // the fat-row-shuffle write path (repartition packed docs, explode
+    // after) relies on Generate preserving the partition sort and on
+    // array_sort's struct order matching the dictionary's code-point
+    // order; if either breaks, parquet min/max pruning degrades silently
+    // — assert per-FILE monotonic order for both sidecars
+    val dir = Files.createTempDirectory("idx-sidecar-order").toString
+    IndexBuilder.build(spark, pages, dir,
+      IndexBuilder.Config(numBuckets = 8, positions = true, termVectors = true))
+    def violations(table: String, bucketCol: String, strCol: String,
+                   longCol: String, strFirst: Boolean): Long = {
+      import spark.implicits._
+      // per-partition scan in read order (a file this small is one split,
+      // so read order IS file order); ASCII corpus makes String ordering
+      // == the writer's code-point order
+      spark.read.parquet(s"$dir/$table")
+        .select(input_file_name().as("f"), col(bucketCol).cast("int"),
+          col(strCol), col(longCol).cast("long"))
+        .as[(String, Int, String, Long)]
+        .mapPartitions { it =>
+          var prev: (String, Int, String, Long) = null
+          var bad = 0L
+          it.foreach { r =>
+            if (prev != null && prev._1 == r._1) {
+              val dec =
+                if (strFirst)
+                  Ordering[(Int, String, Long)].gt((prev._2, prev._3, prev._4), (r._2, r._3, r._4))
+                else
+                  Ordering[(Int, Long, String)].gt((prev._2, prev._4, prev._3), (r._2, r._4, r._3))
+              if (dec) bad += 1
+            }
+            prev = r
+          }
+          Iterator.single(bad)
+        }.collect().sum
+    }
+    // positions: term-major within bucket (the phrase reader's seek order)
+    assert(violations("positions", "bucket", "term", "docId", strFirst = true) === 0L)
+    // termvectors: doc-major within bucket, term-sorted within doc (the
+    // per-doc point-read order; docId min/max prunes row groups)
+    assert(violations("termvectors", "bucket", "term", "docId", strFirst = false) === 0L)
+  }
+
   test("rebuild is deterministic: same docIds, same stats") {
     val tmp2 = Files.createTempDirectory("graftidx2").toString
     // different input partitioning must not change any output
