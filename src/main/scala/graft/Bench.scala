@@ -174,12 +174,14 @@ object Bench {
           }
         })
         .getOrElse(Seq((execMemMb, execGc)))
-    // 10 reps: the 4x2 level swings up to ~3x with neighbor load on this VM
-    // (see reps_high_docs_per_sec in any recorded artifact) while 1x2 is
-    // stable — the steal-gated paired estimator needs enough rounds for a
-    // clean pair to land in a quiet window (r4's 8-round artifact had 4
-    // clean rounds; +2 rounds costs ~5 min and buys two more draws)
-    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "10").toInt
+    // 14 rounds: the 4x2 level swings up to ~3x with neighbor load on this
+    // VM (see reps_high_docs_per_sec in any recorded artifact) while 1x2
+    // is stable — the steal-gated paired-best estimator needs a quiet
+    // patch to EXIST among the rounds, and hostile windows come in
+    // multi-minute bursts (BENCH_r05_dev2.json caught one: 10 rounds, best
+    // paired 0.656, same binary that read 0.894 an hour earlier), so more
+    // rounds directly raise the chance of straddling one (~2.5 min each)
+    val execReps = sys.env.getOrElse("SPARK_GRAFT_EXEC_REPS", "14").toInt
     // (executors, coresPerExecutor) at the two cluster sizes. Default
     // 1x2→4x2, chosen empirically over the symmetric 2x1→8x1: the
     // 1-executor low level fetches its own shuffle output process-locally
@@ -279,16 +281,25 @@ object Bench {
       (sec, stolenCores)
     }
     // rounds interleave (mem, gc) arms AND layouts: every arm of a round
-    // runs in the same host-load window, so cross-arm comparisons are paired
+    // runs in the same host-load window, so cross-arm comparisons are paired.
+    // Each round opens with a ~3 s 8-core DRAM-bandwidth probe: neighbor-VM
+    // memory traffic on this shared host depresses the 4x2 level (the
+    // 8-core side is bandwidth-bound) yet shows ZERO /proc/stat steal, so
+    // the per-round probe array is the published evidence distinguishing
+    // "engine scaled worse" from "the window's memory system was poisoned".
+    val roundDramGbs = scala.collection.mutable.ArrayBuffer[Double]()
     val allExecRuns: Map[(Int, String), Map[(Int, Int), Seq[(Double, Double)]]] = {
-      val raw = for {
-        _ <- 1 to execReps
-        (mem, gc) <- execArms
-        (e, c) <- execLayouts
-      } yield ((mem, gc), (e, c)) -> execBuildOnce(e, c, mem, gc)
+      val raw = (1 to execReps).flatMap { _ =>
+        roundDramGbs += graft.tools.HostProbe.dramGbs(8)
+        for {
+          (mem, gc) <- execArms
+          (e, c) <- execLayouts
+        } yield ((mem, gc), (e, c)) -> execBuildOnce(e, c, mem, gc)
+      }
       raw.groupBy(_._1._1).view.mapValues(
         _.groupBy(_._1._2).view.mapValues(_.map(_._2)).toMap).toMap
     }
+    val roundDramJson = roundDramGbs.map(d => f"$d%.1f").mkString("[", ",", "]")
     /** One `executors` block (the JSON object, no key) for one (mem, gc) arm. */
     def execBlockOf(arm: (Int, String)): String = {
       val (memMb, gc) = arm
@@ -330,7 +341,7 @@ object Bench {
         rs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
       val stealLow = stealJson(execRuns(execLayouts.head))
       val stealHigh = stealJson(execRuns(execLayouts.last))
-      f"""{"bench_docs":$execDocs,"mem_mb_per_executor":$memMb,"gc":"$gc","layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"efficiency_min_of":$effMinOf%.3f,"protocol":"paired_best_steal_gated_0.05_of_${execReps}_rounds;$gateNote;fallback=min_of","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh}"""
+      f"""{"bench_docs":$execDocs,"mem_mb_per_executor":$memMb,"gc":"$gc","layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"efficiency_min_of":$effMinOf%.3f,"protocol":"paired_best_steal_gated_0.05_of_${execReps}_rounds;$gateNote;fallback=min_of","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh,"dram_gbs_per_round":$roundDramJson}"""
     }
     def execBlockJson: String = s""""executors":${execBlockOf(execArms.head)}"""
 

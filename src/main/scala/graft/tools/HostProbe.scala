@@ -64,6 +64,17 @@ object HostProbe {
     threads * 6.0 * n * 8 / sec / 1e9 // GB/s aggregate
   }
 
+  /** One quick aggregate-bandwidth reading at `threads` pinned cores
+    * (~3-4 s incl. allocation) — the per-round window-quality evidence the
+    * executor-scaling bench publishes: neighbor-VM DRAM traffic depresses
+    * this number but is invisible to /proc/stat steal, so the artifact
+    * carries both signals per round.
+    */
+  def dramGbs(threads: Int): Double = {
+    Affinity.pin(threads)
+    try dram(threads) finally Affinity.unpin()
+  }
+
   /** (level, aluGopsAggregate, dramGBsAggregate) per level, CPU-pinned —
     * the host envelope any single-host scaling ratio is bounded by. Called
     * by Bench so the artifact itself carries the evidence.
