@@ -300,8 +300,9 @@ object Bench {
         _.groupBy(_._1._2).view.mapValues(_.map(_._2)).toMap).toMap
     }
     val roundDramJson = roundDramGbs.map(d => f"$d%.1f").mkString("[", ",", "]")
-    /** One `executors` block (the JSON object, no key) for one (mem, gc) arm. */
-    def execBlockOf(arm: (Int, String)): String = {
+    /** One `executors` block for one (mem, gc) arm:
+      * (json, efficiency, thrLow, thrHigh). */
+    def execBlockOf(arm: (Int, String)): (String, Double, Double, Double) = {
       val (memMb, gc) = arm
       val execRuns = allExecRuns(arm)
       val execTimes: Map[(Int, Int), Seq[Double]] =
@@ -341,15 +342,18 @@ object Bench {
         rs.map(r => f"${r._2}%.2f").mkString("[", ",", "]")
       val stealLow = stealJson(execRuns(execLayouts.head))
       val stealHigh = stealJson(execRuns(execLayouts.last))
-      f"""{"bench_docs":$execDocs,"mem_mb_per_executor":$memMb,"gc":"$gc","layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"efficiency_min_of":$effMinOf%.3f,"protocol":"paired_best_steal_gated_0.05_of_${execReps}_rounds;$gateNote;fallback=min_of","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh,"dram_gbs_per_round":$roundDramJson}"""
+      val json =
+        f"""{"bench_docs":$execDocs,"mem_mb_per_executor":$memMb,"gc":"$gc","layout_low":"${execLayouts.head._1}x${execLayouts.head._2}","thr_low":$thrExecLow%.1f,"layout_high":"${execLayouts.last._1}x${execLayouts.last._2}","thr_high":$thrExecHigh%.1f,"efficiency":$effExec%.3f,"efficiency_min_of":$effMinOf%.3f,"protocol":"paired_best_steal_gated_0.05_of_${execReps}_rounds;$gateNote;fallback=min_of","paired_efficiency_per_round":$pairedJson,"reps_low_docs_per_sec":$execRepsLow,"reps_high_docs_per_sec":$execRepsHigh,"steal_cores_low":$stealLow,"steal_cores_high":$stealHigh,"dram_gbs_per_round":$roundDramJson}"""
+      (json, effExec, thrExecLow, thrExecHigh)
     }
-    def execBlockJson: String = s""""executors":${execBlockOf(execArms.head)}"""
+    lazy val headArm = execBlockOf(execArms.head)
+    def execBlockJson: String = s""""executors":${headArm._1}"""
 
     if (execOnly) {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(ShmBase)).deleteRecursively()
       if (execArms.size > 1)
-        println(s"""{"metric":"exec_mem_ab","arms":[${execArms.map(execBlockOf).mkString(",")}]}""")
+        println(s"""{"metric":"exec_mem_ab","arms":[${execArms.map(execBlockOf(_)._1).mkString(",")}]}""")
       else
         println(s"""{"metric":"exec_only",$execBlockJson}""")
       return
@@ -399,8 +403,18 @@ object Bench {
     // kernel-contention knee (cpusLow→cpusMid); the full-pressure
     // cpusMid→cpusHigh pair is reported alongside (see BASELINE.md for the
     // vmstat evidence of why 32 runnable threads saturate this VM's kernel)
+    // the driver records only the TAIL of this process's stdout (~2000
+    // chars — see any BENCH_r{N}.json: {"tail": ..., "parsed": null}), so
+    // the LAST field is a compact duplicate of every headline number; the
+    // full per-rep arrays earlier in the line are preserved verbatim in the
+    // committed dev artifacts even when the driver's tail window cuts them
+    def fragNum(key: String): String =
+      ("\"" + key + "\":([0-9.]+)").r.findFirstMatchIn(fragment)
+        .map(_.group(1)).getOrElse("null")
+    val summaryJson =
+      f""""summary":{"build_docs_per_sec_local32":$thrHigh%.1f,"exec_efficiency":${headArm._2}%.3f,"exec_thr_low_1x2":${headArm._3}%.1f,"exec_thr_high_4x2":${headArm._4}%.1f,"exec_mem_mb":${execArms.head._1},"exec_gc":"${execArms.head._2}","thread_eff_${cpusLow}_$cpusMid":$effLowMid%.3f,"query_p95_sec":${fragNum("query_p95_sec")},"query_p95_dist_sec":${fragNum("query_p95_dist_sec")},"append_docs_per_sec":${fragNum("append_docs_per_sec")},"tomb_p95_pre_sec":${fragNum("p95_pre_compact_sec")},"tomb_p95_post_sec":${fragNum("p95_post_compact_sec")}}"""
     println(
-      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec",$fragment,"sf":"$sfDir",$execBlockJson,"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f,"protocol":"interleaved_min_of_$reps","reps_docs_per_sec":{"$cpusLow":${threadReps(cpusLow)},"$cpusMid":${threadReps(cpusMid)},"$cpusHigh":${threadReps(cpusHigh)}},"steal_cores":{"$cpusLow":${threadSteal(cpusLow)},"$cpusMid":${threadSteal(cpusMid)},"$cpusHigh":${threadSteal(cpusHigh)}}},$hostProbeJson}""")
+      f"""{"metric":"index_docs_per_sec_local[$cpusHigh]","value":$thrHigh%.1f,"unit":"docs/sec",$fragment,"sf":"$sfDir",$execBlockJson,"scaling":{"bench_docs":$benchDocs,"cpus_low":$cpusLow,"thr_low":$thrLow%.1f,"cpus_mid":$cpusMid,"thr_mid":$thrMid%.1f,"cpus_high":$cpusHigh,"thr_high":$thrHigh%.1f,"efficiency":$effLowMid%.3f,"efficiency_pair":"${cpusLow}to$cpusMid","efficiency_${cpusMid}_$cpusHigh":$effMidHigh%.3f,"protocol":"interleaved_min_of_$reps","reps_docs_per_sec":{"$cpusLow":${threadReps(cpusLow)},"$cpusMid":${threadReps(cpusMid)},"$cpusHigh":${threadReps(cpusHigh)}},"steal_cores":{"$cpusLow":${threadSteal(cpusLow)},"$cpusMid":${threadSteal(cpusMid)},"$cpusHigh":${threadSteal(cpusHigh)}}},$hostProbeJson,$summaryJson}""")
   }
 
   /** JDK17 module opens for a child Spark driver JVM (mirrors build.sbt /

@@ -65,9 +65,14 @@ object BenchServe {
     }.sorted
     val p95Dist = latDist((latDist.size * 95 / 100).min(latDist.size - 1))
 
-    // serving path: driver-side WAND over the warm term-row cache, 10 reps
+    // serving path: driver-side WAND over the warm term-row cache, 20 reps
+    // (100 samples): the median sits ~0.07 s but this VM's noise arrives
+    // in bursts that a 50-sample p95 (3rd-worst) latches onto — at 100
+    // samples the same statistic tolerates a 5-sample burst, so the number
+    // tracks the engine rather than one neighbor spike; all samples are
+    // still published sorted in query_serve_reps_sorted
     reader.topKServe(benchQueries, 10) // warm term cache
-    val latServe = (1 to 10).flatMap { _ =>
+    val latServe = (1 to 20).flatMap { _ =>
       benchQueries.map { q => time(reader.topKServe(Seq(q), 10))._2 }
     }.sorted
     val p95 = latServe((latServe.size * 95 / 100).min(latServe.size - 1))
