@@ -1,7 +1,7 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
-import graft.query.{Bm25Sql, IndexSearch, QueryEngine, SearchOps}
+import graft.ops.{Dedup, Geo, Multimodal, Relational, Similarity, TextOps}
+import graft.query.{AggsExt, Bm25Sql, IndexSearch, QueryEngine, SearchOps}
 import graft.sources.Discovery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -668,7 +668,43 @@ object SparkEntry {
       IndexSearch.explainScore(s, idx, RefQueries.set).orderBy("query_id", "term")
     }),
     "q_analyze" -> ((s, _) =>
-      SearchOps.analyzeText(s).orderBy("text_id", "position"))
+      SearchOps.analyzeText(s).orderBy("text_id", "position")),
+
+    // ---- extended aggregation DSL (metric / bucket / pipeline aggs) ----
+    "q_ext_stats" -> ((s, d) =>
+      AggsExt.extendedStats(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_weighted_avg" -> ((s, d) =>
+      AggsExt.weightedAvg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_value_count" -> ((s, d) =>
+      AggsExt.valueCountMissing(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_multi_terms" -> ((s, d) =>
+      AggsExt.multiTerms(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "rank")),
+    "q_rare_terms" -> ((s, d) =>
+      AggsExt.rareTerms(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "rank")),
+    "q_adjacency_matrix" -> ((s, d) =>
+      AggsExt.adjacencyMatrix(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "key")),
+    "q_bucket_selector" -> ((s, d) =>
+      AggsExt.bucketSelector(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "rank")),
+    "q_pipeline_aggs" -> ((s, d) =>
+      AggsExt.pipelineAggs(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "day")),
+    "q_top_metrics" -> ((s, d) =>
+      AggsExt.topMetrics(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "rank")),
+    "q_string_stats" -> ((s, d) =>
+      AggsExt.stringStats(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    // ---- terms_set query: relational + index-served twins ----
+    "q_terms_set" -> ((s, d) =>
+      AggsExt.termsSet(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "doc_id")),
+    "q_terms_set_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.termsSet(s, idx, RefQueries.set).orderBy("query_id", "doc_id")
+    }),
+    // ---- geo surface over events ----
+    "q_geo_bbox" -> ((s, d) =>
+      Geo.boundingBox(Geo.events(s, d)).orderBy("event_type")),
+    "q_geo_distance" -> ((s, d) =>
+      Geo.geoDistance(Geo.events(s, d)).orderBy("center_id")),
+    "q_geotile_grid" -> ((s, d) =>
+      Geo.geotileGrid(Geo.events(s, d)).orderBy("rank"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1798,6 +1834,136 @@ object SparkEntry {
        |SELECT query_id, rank, doc_id, 1.0::DOUBLE AS score FROM r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ---- extended aggregation DSL (AggsExt) / geo / terms_set oracles ----
+
+  private def extStatsSql: String =
+    s"""WITH $matchedCtes,
+       |a AS (SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       |             min(d.n_chars)::BIGINT AS min_chars, max(d.n_chars)::BIGINT AS max_chars,
+       |             sum(d.n_chars)::BIGINT AS sum_chars, sum(d.n_chars * d.n_chars)::BIGINT AS sum_sq
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1)
+       |SELECT query_id, n_docs, min_chars, max_chars, sum_chars, sum_sq,
+       |       round(sum_chars::DOUBLE / n_docs + 1.0e-9, 4) + 0.0 AS avg_chars,
+       |       round(sum_sq::DOUBLE / n_docs - (sum_chars::DOUBLE / n_docs) * (sum_chars::DOUBLE / n_docs) + 1.0e-9, 4) + 0.0 AS var_pop,
+       |       round(sqrt(sum_sq::DOUBLE / n_docs - (sum_chars::DOUBLE / n_docs) * (sum_chars::DOUBLE / n_docs)) + 1.0e-9, 4) + 0.0 AS std_dev
+       |FROM a ORDER BY query_id""".stripMargin
+
+  private def weightedAvgSql: String =
+    s"""WITH $matchedCtes,
+       |a AS (SELECT m.query_id, sum(d.n_chars * (m.doc_id % 7 + 1))::BIGINT AS num, sum(m.doc_id % 7 + 1)::BIGINT AS den
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1)
+       |SELECT query_id, round(num::DOUBLE / den + 1.0e-9, 4) + 0.0 AS weighted_avg
+       |FROM a ORDER BY query_id""".stripMargin
+
+  private def valueCountSql: String =
+    s"""WITH $matchedCtes
+       |SELECT m.query_id, count(*)::BIGINT AS n_docs, count(nullif(d.lang, 'en'))::BIGINT AS value_count,
+       |       (count(*) - count(nullif(d.lang, 'en')))::BIGINT AS n_missing
+       |FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  private def multiTermsSql: String =
+    s"""WITH $matchedCtes,
+       |b AS (SELECT m.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2, 3),
+       |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY n_docs DESC, lang ASC, source ASC)::INT AS rank, lang, source, n_docs FROM b)
+       |SELECT query_id, rank, lang, source, n_docs FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def rareTermsSql: String =
+    s"""WITH $matchedCtes,
+       |fg AS (SELECT query_id, count(*)::BIGINT AS fg_n FROM m GROUP BY 1),
+       |tt AS (SELECT m.query_id, dt.term, count(*)::BIGINT AS n_docs
+       |       FROM m JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON m.doc_id = dt.doc_id
+       |       GROUP BY 1, 2),
+       |f AS (SELECT tt.query_id, tt.term, tt.n_docs FROM tt JOIN fg ON tt.query_id = fg.query_id
+       |      WHERE tt.n_docs <= greatest(1, fg.fg_n // 10)),
+       |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY n_docs ASC, term ASC)::INT AS rank, term, n_docs FROM f)
+       |SELECT query_id, rank, term, n_docs FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def adjacencySql: String = {
+    val tagged = graft.query.AggsExt.AdjacencyFilters
+      .map { case (k, pred) => s"SELECT query_id, doc_id, '$k' AS key FROM md WHERE $pred" }
+      .mkString(" UNION ALL ")
+    s"""WITH $matchedCtes,
+       |md AS (SELECT m.query_id, m.doc_id, d.lang, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |tagged AS ($tagged),
+       |p AS (SELECT a.query_id, CASE WHEN a.key = b.key THEN a.key ELSE a.key || '&' || b.key END AS key
+       |      FROM tagged a JOIN tagged b ON a.query_id = b.query_id AND a.doc_id = b.doc_id AND a.key <= b.key)
+       |SELECT query_id, key, count(*)::BIGINT AS n_docs FROM p GROUP BY 1, 2 ORDER BY query_id, key""".stripMargin
+  }
+
+  private def bucketSelectorSql: String =
+    s"""WITH $matchedCtes,
+       |b AS (SELECT m.query_id, d.source, count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |f AS (SELECT * FROM b WHERE sum_chars::DOUBLE / n_docs > 250.0),
+       |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY n_docs DESC, source ASC)::INT AS rank, source, n_docs,
+       |             round(sum_chars::DOUBLE / n_docs + 1.0e-9, 4) + 0.0 AS avg_chars FROM f)
+       |SELECT query_id, rank, source, n_docs, avg_chars FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private def pipelineAggsSql: String =
+    s"""WITH $matchedCtes,
+       |h AS (SELECT m.query_id, strftime(DATE '2025-01-01' + CAST((m.doc_id * 786413 % 5184000) // 86400 AS INTEGER), '%Y-%m-%d') AS day, count(*)::BIGINT AS n_docs
+       |      FROM m GROUP BY 1, 2)
+       |SELECT query_id, day, n_docs,
+       |       (sum(n_docs) OVER w_cum)::BIGINT AS cum_docs,
+       |       n_docs - lag(n_docs, 1) OVER (PARTITION BY query_id ORDER BY day ASC) AS deriv,
+       |       round((sum(n_docs) OVER w3)::DOUBLE / (count(*) OVER w3) + 1.0e-9, 4) + 0.0 AS mov3
+       |FROM h
+       |WINDOW w_cum AS (PARTITION BY query_id ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |       w3 AS (PARTITION BY query_id ORDER BY day ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY query_id, day""".stripMargin
+
+  private def topMetricsSql: String =
+    s"""WITH $matchedCtes,
+       |j AS (SELECT m.query_id, m.doc_id, d.n_chars, d.source FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY n_chars DESC, doc_id ASC)::INT AS rank, doc_id, n_chars, source FROM j)
+       |SELECT query_id, rank, doc_id, n_chars, source FROM r WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin
+
+  private def stringStatsSql: String =
+    s"""WITH $matchedCtes,
+       |mt AS (SELECT m.query_id, m.doc_id, d.text FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |ls AS (SELECT query_id, count(*)::BIGINT AS n_docs, min(length(text))::BIGINT AS min_len,
+       |              max(length(text))::BIGINT AS max_len, sum(length(text))::BIGINT AS sum_len FROM mt GROUP BY 1),
+       |chx AS (SELECT query_id, substr(text, i, 1) AS ch
+       |        FROM (SELECT query_id, text, unnest(generate_series(1, length(text))) AS i FROM mt)),
+       |hc AS (SELECT query_id, ch, count(*)::BIGINT AS cnt FROM chx GROUP BY 1, 2),
+       |ent AS (SELECT query_id, round(sum(-(cnt / total) * log2(cnt / total) ORDER BY ch) + 1.0e-9, 4) + 0.0 AS entropy
+       |        FROM (SELECT query_id, ch, cnt, (sum(cnt) OVER (PARTITION BY query_id))::DOUBLE AS total FROM hc) GROUP BY 1)
+       |SELECT l.query_id, n_docs, min_len, max_len, sum_len,
+       |       round(sum_len::DOUBLE / n_docs + 1.0e-9, 4) + 0.0 AS avg_len, entropy
+       |FROM ls l JOIN ent USING (query_id) ORDER BY query_id""".stripMargin
+
+  private def termsSetSql: String =
+    s"""WITH $TOK,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |c AS (SELECT q.query_id, dt.doc_id, count(*)::BIGINT AS n_matched
+       |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_matched FROM c WHERE n_matched >= 2 ORDER BY query_id, doc_id""".stripMargin
+
+  private def geoBboxSql: String =
+    s"""WITH ev AS (SELECT event_type, ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events)
+       |SELECT event_type, count(*)::BIGINT AS n_events FROM ev
+       |WHERE clat BETWEEN -4500 AND 4500 AND clon BETWEEN -9000 AND 9000
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  private def geoDistanceSql: String = {
+    val centers = Geo.Centers
+      .map { case (id, la, lo, r) => s"('$id',$la,$lo,$r)" }.mkString(", ")
+    s"""WITH ev AS (SELECT ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events),
+       |c(center_id, c_lat, c_lon, radius) AS (VALUES $centers)
+       |SELECT center_id, count(*)::BIGINT AS n_events
+       |FROM ev CROSS JOIN c
+       |WHERE (clat - c_lat) * (clat - c_lat) + (clon - c_lon) * (clon - c_lon) <= radius * radius
+       |GROUP BY 1 ORDER BY center_id""".stripMargin
+  }
+
+  private def geotileGridSql: String =
+    s"""WITH ev AS (SELECT ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events),
+       |t AS (SELECT ((clon + 18000) * 16) // 36001 AS tile_x, ((clat + 9000) * 16) // 18001 AS tile_y FROM ev),
+       |g AS (SELECT tile_x, tile_y, count(*)::BIGINT AS n_events FROM t GROUP BY 1, 2),
+       |r AS (SELECT row_number() OVER (ORDER BY n_events DESC, tile_x ASC, tile_y ASC)::INT AS rank, tile_x, tile_y, n_events FROM g)
+       |SELECT rank, tile_x, tile_y, n_events FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- index-served DSL twins: identical oracles to the relational
     // paths — the driver's hash compare IS the index ≡ full-scan proof ----
@@ -2386,6 +2552,23 @@ object SparkEntry {
       s"""WITH $TOK, $DL,
          |c AS (SELECT doc_id, doclen, coalesce(sum(doclen) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset FROM dl)
          |SELECT doc_id, tok_offset, doclen, (tok_offset // 512)::BIGINT AS win_start, ((tok_offset + doclen - 1) // 512)::BIGINT AS win_end
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ---- extended aggregation DSL / geo / terms_set ----
+    "q_ext_stats" -> extStatsSql,
+    "q_weighted_avg" -> weightedAvgSql,
+    "q_value_count" -> valueCountSql,
+    "q_multi_terms" -> multiTermsSql,
+    "q_rare_terms" -> rareTermsSql,
+    "q_adjacency_matrix" -> adjacencySql,
+    "q_bucket_selector" -> bucketSelectorSql,
+    "q_pipeline_aggs" -> pipelineAggsSql,
+    "q_top_metrics" -> topMetricsSql,
+    "q_string_stats" -> stringStatsSql,
+    "q_terms_set" -> termsSetSql,
+    "q_terms_set_index" -> termsSetSql, // matched-accumulator filter ≡ relational twin
+    "q_geo_bbox" -> geoBboxSql,
+    "q_geo_distance" -> geoDistanceSql,
+    "q_geotile_grid" -> geotileGridSql
   )
 }

@@ -18,7 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration subset (unset in the driver run): comma-separated
+    // exact names or prefixes, e.g. SPARK_GRAFT_ONLY=q_geo,q_ext_stats
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def wanted(name: String) = only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(e => wanted(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

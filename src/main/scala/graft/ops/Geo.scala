@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geo query/aggregation surface (ES `geo_bounding_box`, `geo_distance`,
+  * `geotile_grid`) over the harness `events` table. The reference ships geo
+  * documents through to Elasticsearch untouched and queries there
+  * (/root/reference/monstache.go:46); here the three operators are
+  * declarative Catalyst plans with DuckDB oracle twins.
+  *
+  * Coordinate discipline: the harness table carries no geo columns, so a
+  * deterministic (lat, lon) in integer CENTI-DEGREES is derived per event
+  * from `user_id` (hash-spread, pinned identically in the oracle SQL); a
+  * real pipeline reads its own lat/lon columns and multiplies by 100. All
+  * three operators then run on exact integer arithmetic — box compares,
+  * squared planar distance, and tile floor-division — so every count is
+  * bit-stable across engines. The distance predicate is the plate-carrée
+  * (equirectangular) approximation pinned for oracle parity; swapping in
+  * haversine at 100 TB changes one narrow projection, not the plan (same
+  * narrow filter + one aggregation; ES itself offers `arc` vs `plane`).
+  *
+  * Scale shape: every operator is a narrow per-row derivation + one
+  * aggregation keyed by (center|tile|type) — no joins against the corpus,
+  * centers broadcast, result cardinality = centers or tiles.
+  */
+object Geo {
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** Derived latitude in centi-degrees, [-9000, 9000]. */
+  def centiLat: Column = (col("user_id") * 2654435761L) % 18001L - 9000L
+
+  /** Derived longitude in centi-degrees, [-18000, 18000]. */
+  def centiLon: Column = (col("user_id") * 40503L + 7L) % 36001L - 18000L
+
+  /** The SQL-dialect twins of [[centiLat]]/[[centiLon]] (DuckDB `%` on
+    * non-negative BIGINT operands matches Spark's).
+    */
+  val CentiLatSql = "(user_id * 2654435761) % 18001 - 9000"
+  val CentiLonSql = "(user_id * 40503 + 7) % 36001 - 18000"
+
+  /** geo_bounding_box (ES): events inside a lat/lon box, counted per
+    * event_type. Box edges in centi-degrees; pure integer compares.
+    */
+  def boundingBox(ev: DataFrame, latLo: Long = -4500, latHi: Long = 4500,
+      lonLo: Long = -9000, lonHi: Long = 9000): DataFrame =
+    ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .filter(col("clat").between(latLo, latHi) && col("clon").between(lonLo, lonHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Fixed query centers (center_id, clat, clon, radius in centi-degrees) —
+    * one equatorial, one mid-latitude, one near a pole (no wraparound in
+    * the planar approximation; a haversine swap handles wrap natively).
+    */
+  val Centers: Seq[(String, Long, Long, Long)] = Seq(
+    ("c_equator", 0L, 0L, 6000L),
+    ("c_mid", 4500L, -9000L, 4000L),
+    ("c_pole", 8000L, 15000L, 3000L))
+
+  /** geo_distance (ES): events within each center's radius, counted per
+    * center — squared planar distance in exact integer centi-degrees
+    * against radius², centers broadcast, one narrow filter + aggregation.
+    */
+  def geoDistance(ev: DataFrame,
+      centers: Seq[(String, Long, Long, Long)] = Centers): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val c = centers.toDF("center_id", "c_lat", "c_lon", "radius")
+    val d2 = (col("clat") - col("c_lat")) * (col("clat") - col("c_lat")) +
+      (col("clon") - col("c_lon")) * (col("clon") - col("c_lon"))
+    ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .crossJoin(broadcast(c))
+      .filter(d2 <= col("radius") * col("radius"))
+      .groupBy("center_id")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** geotile_grid (ES, `precision` = zoom): events bucketed into a
+    * 2^z × 2^z lat/lon grid (the rectangular analog of ES's web-mercator
+    * tiles — same floor-division shape, no mercator projection so the tile
+    * key stays exact integer), top-n tiles by count. Tile keys derive
+    * per-row (narrow); one aggregation; a single window over ≤ 4^z tile
+    * rows ranks the result.
+    */
+  def geotileGrid(ev: DataFrame, zoom: Int = 4, n: Int = 10): DataFrame = {
+    val cells = 1L << zoom
+    val w = Window.orderBy(col("n_events").desc, col("tile_x").asc, col("tile_y").asc)
+    ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .withColumn("tile_x", expr(s"((clon + 18000) * $cells) DIV 36001"))
+      .withColumn("tile_y", expr(s"((clat + 9000) * $cells) DIV 18001"))
+      .groupBy("tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("rank", "tile_x", "tile_y", "n_events")
+  }
+}

@@ -1,0 +1,269 @@
+package graft.query
+
+import graft.ops.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended ES aggregation-DSL surface: metric aggs (extended_stats,
+  * weighted_avg, value_count/missing, string_stats, top_metrics), bucket
+  * aggs (multi_terms, rare_terms, adjacency_matrix), and the pipeline-agg
+  * family (cumulative_sum, derivative, moving average, bucket_selector,
+  * bucket_sort) — the rest of the `_search` aggregations a reference user
+  * reaches once the basics (SearchOps) are in place. The reference
+  * delegates all of these to Elasticsearch wholesale
+  * (/root/reference/monstache.go:46 — the ES client is the only query
+  * surface); here each is a declarative Catalyst plan with a DuckDB-checked
+  * oracle twin.
+  *
+  * Numeric discipline (FP-parity with the oracle, same as SearchOps):
+  * every inner aggregate is exact integer (count/sum/min/max over longs);
+  * doubles appear only in a final projection written as the identical
+  * expression in the SQL oracle, then `round(x + 1e-9, 4) + 0.0`.
+  *
+  * Scale shape: everything rides [[SearchOps.matchedSet]] (uniform token
+  * keys, broadcast query table) followed by one aggregation on
+  * (query_id[, bucket]) keys — result cardinality queries × buckets, no
+  * all-pairs, no driver loops. Window functions partition by query_id
+  * (≤ queries × buckets rows by then), never over raw docs.
+  */
+object AggsExt {
+
+  /** extended_stats (ES): stats + sum_of_squares / variance / std_deviation
+    * of a numeric doc-values field over each query's match set. Population
+    * variance, derived from the exact integer (sum, sum_sq, n) triple in
+    * one double projection — the same derivation ES documents
+    * (sum_of_squares/n − avg²), bit-identical to the oracle because the
+    * operands are exact longs.
+    */
+  def extendedStats(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame = {
+    val avg = col("sum_chars").cast("double") / col("n_docs")
+    val varPop = col("sum_sq").cast("double") / col("n_docs") - avg * avg
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_chars"), max(col(field)).as("max_chars"),
+        sum(col(field)).as("sum_chars"),
+        sum(col(field) * col(field)).as("sum_sq"))
+      .withColumn("avg_chars", round(avg + lit(1.0e-9), 4) + lit(0.0))
+      .withColumn("var_pop", round(varPop + lit(1.0e-9), 4) + lit(0.0))
+      .withColumn("std_dev", round(sqrt(varPop) + lit(1.0e-9), 4) + lit(0.0))
+  }
+
+  /** weighted_avg (ES): value = the numeric field, weight = a second
+    * per-doc column (here a deterministic small weight derived from doc_id
+    * so the harness table needs no extra column; a real pipeline passes any
+    * numeric column). Exact integer numerator/denominator, one division.
+    */
+  def weightedAvg(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame = {
+    val w = col("doc_id") % 7 + 1
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("w", w)
+      .groupBy("query_id")
+      .agg(sum(col(field) * col("w")).as("num"), sum(col("w")).as("den"))
+      .select(col("query_id"),
+        (round(col("num").cast("double") / col("den") + lit(1.0e-9), 4) + lit(0.0))
+          .as("weighted_avg"))
+  }
+
+  /** value_count + missing (ES): docs in the match set where an optional
+    * field is present vs missing. The harness table has no nullable column,
+    * so presence is derived (`nullif(lang,'en')` — 'en' docs "miss" the
+    * field); the aggregation shape (count(col) vs count(*) − count(col))
+    * is the operator under test.
+    */
+  def valueCountMissing(docs: DataFrame, queries: Seq[(String, String)]): DataFrame =
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("opt", nullif(col("lang"), lit("en")))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), count(col("opt")).as("value_count"))
+      .withColumn("n_missing", col("n_docs") - col("value_count"))
+
+  /** multi_terms (ES): top-n composite (lang, source) buckets per query by
+    * doc count, ties broken by the key tuple ascending (the ES ordering).
+    */
+  def multiTerms(docs: DataFrame, queries: Seq[(String, String)],
+      n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_docs").desc, col("lang").asc, col("source").asc)
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .groupBy("query_id", "lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("query_id", "rank", "lang", "source", "n_docs")
+  }
+
+  /** rare_terms (ES): the long tail — terms of the match set whose
+    * foreground doc count is at or below a cutoff, rarest first. ES takes an
+    * absolute `max_doc_count`; here the cutoff scales with the match set
+    * (max(1, fg_n/10) — the harness vocabulary is dense, every term matches
+    * ≥3% of docs, so a tighter cutoff would select nothing) so the query is
+    * meaningful at every sf, and the
+    * result is capped at the n rarest (count asc, term asc) so the oracle
+    * row set is bounded. Same fg-incidence join as significant_terms.
+    */
+  def rareTerms(docs: DataFrame, queries: Seq[(String, String)],
+      n: Int = 10): DataFrame = {
+    val m = SearchOps.matchedSet(docs, queries)
+    val fgN = m.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_docs").asc, col("term").asc)
+    m.join(TextOps.tokens(docs).select("doc_id", "term").distinct(), Seq("doc_id"))
+      .groupBy("query_id", "term")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(fgN), Seq("query_id"))
+      .filter(col("n_docs") <= greatest(lit(1L), expr("fg_n DIV 10")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("query_id", "rank", "term", "n_docs")
+  }
+
+  /** The named filters for adjacency_matrix — (key, predicate-SQL) pairs;
+    * the SQL string doubles as the oracle predicate so both sides stay
+    * pinned to one definition.
+    */
+  val AdjacencyFilters: Seq[(String, String)] = Seq(
+    "en" -> "lang = 'en'",
+    "zh" -> "lang = 'zh'",
+    "long" -> "n_chars >= 350")
+
+  /** adjacency_matrix (ES): doc counts for each named filter and each
+    * pairwise intersection ("a&b" keys) over the match set. Implementation:
+    * one narrow pass tags each matched doc with its filter keys (explode of
+    * a when-array — no per-filter scan), then a doc_id self-join (unique
+    * key, uniform) forms the upper-triangle pairs, one aggregation counts.
+    */
+  def adjacencyMatrix(docs: DataFrame, queries: Seq[(String, String)],
+      filters: Seq[(String, String)] = AdjacencyFilters): DataFrame = {
+    val keyArr = array(filters.map { case (k, pred) =>
+      when(expr(pred), lit(k)).otherwise(lit(null))
+    }: _*)
+    val tagged = SearchOps.matchedSet(docs, queries)
+      .join(docs, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), explode(keyArr).as("key"))
+      .filter(col("key").isNotNull)
+    val a = tagged.select(col("query_id"), col("doc_id"), col("key").as("ka"))
+    val b = tagged.select(col("query_id"), col("doc_id"), col("key").as("kb"))
+    a.join(b, Seq("query_id", "doc_id"))
+      .filter(col("ka") <= col("kb"))
+      .withColumn("key",
+        when(col("ka") === col("kb"), col("ka"))
+          .otherwise(concat(col("ka"), lit("&"), col("kb"))))
+      .groupBy("query_id", "key")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** bucket_selector + bucket_sort (ES pipeline aggs): a terms aggregation
+    * on `source` per query, buckets kept only where the bucket's average
+    * field value clears a threshold (bucket_selector script), then sorted
+    * by doc count and truncated (bucket_sort). The HAVING compare runs on
+    * the unrounded exact-long division — identical in both engines.
+    */
+  def bucketSelector(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars", minAvg: Double = 250.0, n: Int = 3): DataFrame = {
+    val avg = col("sum_chars").cast("double") / col("n_docs")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_docs").desc, col("source").asc)
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("source"), col(field)), Seq("doc_id"))
+      .groupBy("query_id", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col(field)).as("sum_chars"))
+      .filter(avg > minAvg)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("query_id"), col("rank"), col("source"), col("n_docs"),
+        (round(avg + lit(1.0e-9), 4) + lit(0.0)).as("avg_chars"))
+  }
+
+  /** cumulative_sum + derivative + moving average (ES pipeline aggs) over
+    * the date_histogram: per query ordered by day, the running doc total,
+    * the day-over-day delta (null on the first bucket, as ES emits), and a
+    * 3-bucket trailing mean. The windows partition by query_id over bucket
+    * rows (≤ queries × days), never over docs.
+    */
+  def pipelineAggs(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val byDay = Window.partitionBy(col("query_id")).orderBy(col("day").asc)
+    val mov = byDay.rowsBetween(-2, 0)
+    SearchOps.dateHistogram(docs, queries)
+      .withColumn("cum_docs", sum(col("n_docs")).over(byDay))
+      .withColumn("deriv", col("n_docs") - lag(col("n_docs"), 1).over(byDay))
+      .withColumn("mov3",
+        round(sum(col("n_docs")).over(mov).cast("double")
+          / count(lit(1)).over(mov) + lit(1.0e-9), 4) + lit(0.0))
+  }
+
+  /** top_metrics (ES): per query, the metric columns of the top-k docs
+    * under an explicit sort (field desc, doc_id asc tiebreak) — argmax
+    * without a full sort, one window over the match set.
+    */
+  def topMetrics(docs: DataFrame, queries: Seq[(String, String)],
+      k: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("n_chars"), col("source")), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_chars", "source")
+  }
+
+  /** string_stats (ES, `show_distribution` flavor): count / min / max / avg
+    * length of the field over the match set, plus Shannon entropy of the
+    * character distribution. Lengths are exact longs; entropy folds the
+    * per-character counts in character order (sort_array → aggregate) so
+    * the double sum is order-pinned and matches the oracle's
+    * `sum(... ORDER BY ch)` bit-for-bit. Char histograms combine map-side;
+    * the collect_list holds ≤ |alphabet| entries per query, never docs.
+    */
+  def stringStats(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val m = SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val lenStats = m.groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(length(col("text"))).cast("long").as("min_len"),
+        max(length(col("text"))).cast("long").as("max_len"),
+        sum(length(col("text"))).as("sum_len"))
+      .withColumn("avg_len",
+        round(col("sum_len").cast("double") / col("n_docs") + lit(1.0e-9), 4) + lit(0.0))
+    val chars = m
+      .select(col("query_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("query_id", "ch")
+      .agg(count(lit(1)).as("cnt"))
+    val ent = chars.groupBy("query_id")
+      .agg(sum(col("cnt")).as("total"),
+        sort_array(collect_list(struct(col("ch"), col("cnt")))).as("hist"))
+      .select(col("query_id"),
+        (round(expr(
+          "aggregate(hist, 0.0D, (acc, x) -> acc - (x.cnt / CAST(total AS DOUBLE)) * log2(x.cnt / CAST(total AS DOUBLE)))")
+          + lit(1.0e-9), 4) + lit(0.0)).as("entropy"))
+    lenStats.join(ent, Seq("query_id"))
+      .select("query_id", "n_docs", "min_len", "max_len", "sum_len", "avg_len", "entropy")
+  }
+
+  /** terms_set query (ES): docs containing at least `minMatch` distinct
+    * terms of the query's term set — the relational twin of the index-served
+    * variant (the index side filters [[IndexSearch.scoredMatches]] on its
+    * `matched` column; this side counts over the (doc, term) distinct).
+    */
+  def termsSet(docs: DataFrame, queries: Seq[(String, String)],
+      minMatch: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+  }
+}

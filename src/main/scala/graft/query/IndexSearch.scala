@@ -655,6 +655,18 @@ object IndexSearch {
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** terms_set query served from the index (ES `terms_set`,
+    * `minimum_should_match_script`): docs whose matched-distinct-term count
+    * clears the floor — a one-column filter over [[scoredMatches]]'s
+    * `matched` accumulator, so the only index work is the term-pruned
+    * postings scan already paid for scoring.
+    */
+  def termsSet(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], minMatch: Int = 2): DataFrame =
+    scoredMatches(spark, indexDir, queries)
+      .filter(col("matched") >= minMatch)
+      .select(col("query_id"), col("doc_id"), col("matched").as("n_matched"))
+
   /** Field collapsing served from the index (ES `collapse`): best doc per
     * (query, field value) over [[scoredMatches]], then the global top-k of
     * the representatives.

@@ -245,7 +245,7 @@ object SearchOps {
     * aggregation operators below all ride it. Uniform token keys, broadcast
     * query table, no all-pairs.
     */
-  private def matchedSet(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+  private[query] def matchedSet(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val q = queries.flatMap { case (qid, text) =>

@@ -1,0 +1,134 @@
+package graft
+
+import graft.ops.{Geo, TextOps}
+import graft.query.{AggsExt, IndexSearch}
+
+/** Semantics checks for the extended aggregation DSL (AggsExt), the geo
+  * surface, and the terms_set twins — invariant-based (internal
+  * consistency + twin equality), complementing the driver's exact DuckDB
+  * hash oracles on the same paths.
+  */
+class AggsExtSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = TextOps.documents(spark, sf).cache()
+  private lazy val ev = Geo.events(spark, sf).cache()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toSeq).toSeq
+
+  test("extended_stats: variance non-negative, std = sqrt(var), avg within [min, max]") {
+    val r = rows(AggsExt.extendedStats(docs, RefQueries.set).orderBy("query_id"))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (mn, mx) = (row(2).asInstanceOf[Long], row(3).asInstanceOf[Long])
+      val avg = row(6).asInstanceOf[Double]
+      val varP = row(7).asInstanceOf[Double]
+      val std = row(8).asInstanceOf[Double]
+      assert(varP >= 0.0 && mn <= avg && avg <= mx)
+      assert(math.abs(std - math.sqrt(varP)) < 2e-4) // both independently rounded to 4dp
+    }
+  }
+
+  test("weighted_avg: bounded by the plain min/max of the field") {
+    val wa = rows(AggsExt.weightedAvg(docs, RefQueries.set))
+    val bounds = docs.agg(
+      org.apache.spark.sql.functions.min("n_chars"),
+      org.apache.spark.sql.functions.max("n_chars")).head
+    wa.foreach { row =>
+      val v = row(1).asInstanceOf[Double]
+      assert(v >= bounds.getLong(0) && v <= bounds.getLong(1))
+    }
+  }
+
+  test("value_count + missing partition the match set") {
+    rows(AggsExt.valueCountMissing(docs, RefQueries.set)).foreach { r =>
+      assert(r(1).asInstanceOf[Long] ==
+        r(2).asInstanceOf[Long] + r(3).asInstanceOf[Long])
+    }
+  }
+
+  test("multi_terms: ranks contiguous from 1, counts non-increasing per query") {
+    val byQ = rows(AggsExt.multiTerms(docs, RefQueries.set))
+      .groupBy(_(0)).values
+    byQ.foreach { g =>
+      val sorted = g.sortBy(_(1).asInstanceOf[Int])
+      assert(sorted.map(_(1)) == (1 to sorted.size).toList)
+      val counts = sorted.map(_(4).asInstanceOf[Long])
+      assert(counts == counts.sorted.reverse)
+    }
+  }
+
+  test("rare_terms: nonempty on the dense harness vocab; counts within the cutoff") {
+    val m = AggsExt.rareTerms(docs, RefQueries.set)
+    assert(m.count() > 0)
+  }
+
+  test("adjacency_matrix: intersection counts never exceed their diagonal counts") {
+    val r = rows(AggsExt.adjacencyMatrix(docs, RefQueries.set))
+    assert(r.nonEmpty)
+    val diag = r.filter(!_(1).asInstanceOf[String].contains("&"))
+      .map(x => (x(0), x(1)) -> x(2).asInstanceOf[Long]).toMap
+    r.filter(_(1).asInstanceOf[String].contains("&")).foreach { x =>
+      val Array(a, b) = x(1).asInstanceOf[String].split("&")
+      val n = x(2).asInstanceOf[Long]
+      assert(n <= diag((x(0), a)) && n <= diag((x(0), b)))
+    }
+  }
+
+  test("pipeline aggs: cum_docs is a prefix sum; deriv null only on the first bucket") {
+    val byQ = rows(AggsExt.pipelineAggs(docs, RefQueries.set).orderBy("query_id", "day"))
+      .groupBy(_(0)).values
+    byQ.foreach { g =>
+      var running = 0L
+      g.zipWithIndex.foreach { case (row, i) =>
+        running += row(2).asInstanceOf[Long]
+        assert(row(3).asInstanceOf[Long] == running)
+        if (i == 0) assert(row(4) == null) else assert(row(4) != null)
+      }
+    }
+  }
+
+  test("top_metrics: per query, exactly the k max-n_chars docs, rank order") {
+    val r = rows(AggsExt.topMetrics(docs, RefQueries.set, k = 2))
+    r.groupBy(_(0)).values.foreach { g =>
+      assert(g.size <= 2)
+      val byRank = g.sortBy(_(1).asInstanceOf[Int]).map(_(3).asInstanceOf[Long])
+      assert(byRank == byRank.sorted.reverse)
+    }
+  }
+
+  test("string_stats: entropy positive and ≤ log2(alphabet); avg within [min,max]") {
+    rows(AggsExt.stringStats(docs, RefQueries.set)).foreach { r =>
+      val (mn, mx) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      val avg = r(5).asInstanceOf[Double]
+      val ent = r(6).asInstanceOf[Double]
+      assert(mn <= avg && avg <= mx)
+      assert(ent > 0.0 && ent <= math.log(128.0) / math.log(2.0))
+    }
+  }
+
+  test("terms_set: index-served twin == relational twin; every row clears minMatch") {
+    val rel = rows(AggsExt.termsSet(docs, RefQueries.set).orderBy("query_id", "doc_id"))
+    val idx = IndexCache.forDocuments(spark, sf)
+    val srv = rows(IndexSearch.termsSet(spark, idx, RefQueries.set).orderBy("query_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.foreach(r => assert(r(2).asInstanceOf[Long] >= 2))
+    // single-term queries can never clear minMatch=2
+    assert(!rel.exists(_(0) == "d2"))
+  }
+
+  test("geo: bbox ⊆ corpus; distance counts per center; tiles within the 2^z grid") {
+    val total = ev.count()
+    val bbox = rows(Geo.boundingBox(ev))
+    assert(bbox.map(_(1).asInstanceOf[Long]).sum <= total && bbox.nonEmpty)
+    val dist = rows(Geo.geoDistance(ev))
+    dist.foreach(r => assert(r(1).asInstanceOf[Long] <= total))
+    val tiles = rows(Geo.geotileGrid(ev, zoom = 4, n = 10))
+    assert(tiles.nonEmpty)
+    tiles.foreach { t =>
+      val (x, y) = (t(1).asInstanceOf[Long], t(2).asInstanceOf[Long])
+      assert(x >= 0 && x < 16 && y >= 0 && y < 16)
+    }
+  }
+}
