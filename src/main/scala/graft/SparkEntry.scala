@@ -698,11 +698,32 @@ object SparkEntry {
       val idx = IndexCache.forDocuments(s, d)
       IndexSearch.termsSet(s, idx, RefQueries.set).orderBy("query_id", "doc_id")
     }),
+    // ---- matrix / quantile / sibling-pipeline aggs ----
+    "q_matrix_stats" -> ((s, d) =>
+      AggsExt.matrixStats(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_boxplot" -> ((s, d) =>
+      AggsExt.boxplot(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_bucket_stats" -> ((s, d) =>
+      AggsExt.bucketStats(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_serial_diff" -> ((s, d) =>
+      AggsExt.serialDiffNormalize(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "day")),
+    // ---- rank_feature + min_score: relational + index-served twins ----
+    "q_rank_feature" -> ((s, d) =>
+      AggsExt.rankFeatureTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_rank_feature_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.rankFeature(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "rank")
+    }),
     // ---- geo surface over events ----
     "q_geo_bbox" -> ((s, d) =>
       Geo.boundingBox(Geo.events(s, d)).orderBy("event_type")),
     "q_geo_distance" -> ((s, d) =>
       Geo.geoDistance(Geo.events(s, d)).orderBy("center_id")),
+    "q_geo_centroid" -> ((s, d) =>
+      Geo.geoCentroid(Geo.events(s, d)).orderBy("event_type")),
     "q_geotile_grid" -> ((s, d) =>
       Geo.geotileGrid(Geo.events(s, d)).orderBy("rank"))
   )
@@ -1940,6 +1961,90 @@ object SparkEntry {
        |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term GROUP BY 1, 2)
        |SELECT query_id, doc_id, n_matched FROM c WHERE n_matched >= 2 ORDER BY query_id, doc_id""".stripMargin
 
+  private def matrixStatsSql: String =
+    s"""WITH $matchedCtes, $DL,
+       |a AS (SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       |             sum(d.n_chars)::BIGINT AS sum_a, sum(dl.doclen)::BIGINT AS sum_b,
+       |             sum(d.n_chars * d.n_chars)::BIGINT AS sum_a2, sum(dl.doclen * dl.doclen)::BIGINT AS sum_b2,
+       |             sum(d.n_chars * dl.doclen)::BIGINT AS sum_ab
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id JOIN dl ON m.doc_id = dl.doc_id GROUP BY 1)
+       |SELECT query_id, n_docs,
+       |  round(sum_a::DOUBLE / n_docs + 1.0e-9, 4) + 0.0 AS mean_a,
+       |  round(sum_b::DOUBLE / n_docs + 1.0e-9, 4) + 0.0 AS mean_b,
+       |  round(sum_a2::DOUBLE / n_docs - (sum_a::DOUBLE / n_docs) * (sum_a::DOUBLE / n_docs) + 1.0e-9, 4) + 0.0 AS var_a,
+       |  round(sum_b2::DOUBLE / n_docs - (sum_b::DOUBLE / n_docs) * (sum_b::DOUBLE / n_docs) + 1.0e-9, 4) + 0.0 AS var_b,
+       |  round(sum_ab::DOUBLE / n_docs - (sum_a::DOUBLE / n_docs) * (sum_b::DOUBLE / n_docs) + 1.0e-9, 4) + 0.0 AS covariance,
+       |  round((sum_ab::DOUBLE / n_docs - (sum_a::DOUBLE / n_docs) * (sum_b::DOUBLE / n_docs))
+       |        / sqrt((sum_a2::DOUBLE / n_docs - (sum_a::DOUBLE / n_docs) * (sum_a::DOUBLE / n_docs))
+       |             * (sum_b2::DOUBLE / n_docs - (sum_b::DOUBLE / n_docs) * (sum_b::DOUBLE / n_docs))) + 1.0e-9, 4) + 0.0 AS correlation
+       |FROM a ORDER BY query_id""".stripMargin
+
+  private def boxplotSql: String =
+    s"""WITH $matchedCtes,
+       |v AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |quart AS (SELECT query_id, count(*)::BIGINT AS n_docs, min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+       |                 quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3
+       |          FROM v GROUP BY 1),
+       |madt AS (SELECT v.query_id, quantile_cont(abs(v.n_chars - q.q2), 0.5) AS mad_raw
+       |         FROM v JOIN quart q ON v.query_id = q.query_id GROUP BY 1)
+       |SELECT q.query_id, n_docs, min_v, max_v,
+       |       round(q1 + 1.0e-9, 4) + 0.0 AS q1, round(q2 + 1.0e-9, 4) + 0.0 AS q2, round(q3 + 1.0e-9, 4) + 0.0 AS q3,
+       |       round(mad_raw + 1.0e-9, 4) + 0.0 AS mad
+       |FROM quart q JOIN madt USING (query_id) ORDER BY query_id""".stripMargin
+
+  private def bucketStatsSql: String =
+    s"""WITH $matchedCtes,
+       |b AS (SELECT m.query_id, d.source, count(*)::BIGINT AS n_docs
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, source, n_docs,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY n_docs DESC, source ASC) AS rmax,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY n_docs ASC, source ASC) AS rmin FROM b),
+       |a AS (SELECT query_id, count(*)::BIGINT AS n_buckets, sum(n_docs)::BIGINT AS sum_docs,
+       |        max(CASE WHEN rmax = 1 THEN source END) AS max_key, max(CASE WHEN rmax = 1 THEN n_docs END)::BIGINT AS max_docs,
+       |        max(CASE WHEN rmin = 1 THEN source END) AS min_key, max(CASE WHEN rmin = 1 THEN n_docs END)::BIGINT AS min_docs
+       |      FROM r GROUP BY 1)
+       |SELECT query_id, n_buckets, sum_docs, max_key, max_docs, min_key, min_docs,
+       |       round(sum_docs::DOUBLE / n_buckets + 1.0e-9, 4) + 0.0 AS avg_docs
+       |FROM a ORDER BY query_id""".stripMargin
+
+  private def serialDiffSql: String =
+    s"""WITH $matchedCtes,
+       |h AS (SELECT m.query_id, strftime(DATE '2025-01-01' + CAST((m.doc_id * 786413 % 5184000) // 86400 AS INTEGER), '%Y-%m-%d') AS day, count(*)::BIGINT AS n_docs FROM m GROUP BY 1, 2)
+       |SELECT query_id, day, n_docs,
+       |       n_docs - lag(n_docs, 7) OVER (PARTITION BY query_id ORDER BY day ASC) AS sdiff7,
+       |       round((n_docs - min(n_docs) OVER w)::DOUBLE / nullif((max(n_docs) OVER w - min(n_docs) OVER w)::DOUBLE, 0.0) + 1.0e-9, 4) + 0.0 AS norm01
+       |FROM h
+       |WINDOW w AS (PARTITION BY query_id)
+       |ORDER BY query_id, day""".stripMargin
+
+  private def rankFeatureSql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |s2 AS (SELECT s.query_id, s.doc_id, s.score * (d.n_chars / (d.n_chars + 250.0)) AS score2
+       |       FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+       |       WHERE s.score * (d.n_chars / (d.n_chars + 250.0)) >= 1.0),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score2 DESC, doc_id ASC)::INT AS rank, doc_id, round(score2, 4) + 0.0 AS score FROM s2)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
+  private def geoCentroidSql: String =
+    s"""WITH ev AS (SELECT event_type, ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events),
+       |a AS (SELECT event_type, count(*)::BIGINT AS n_events, sum(clat)::BIGINT AS sum_lat, sum(clon)::BIGINT AS sum_lon FROM ev GROUP BY 1)
+       |SELECT event_type, n_events,
+       |       round(sum_lat::DOUBLE / n_events + 1.0e-9, 4) + 0.0 AS centroid_lat,
+       |       round(sum_lon::DOUBLE / n_events + 1.0e-9, 4) + 0.0 AS centroid_lon
+       |FROM a ORDER BY event_type""".stripMargin
+
   private def geoBboxSql: String =
     s"""WITH ev AS (SELECT event_type, ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events)
        |SELECT event_type, count(*)::BIGINT AS n_events FROM ev
@@ -2569,6 +2674,13 @@ object SparkEntry {
     "q_terms_set_index" -> termsSetSql, // matched-accumulator filter ≡ relational twin
     "q_geo_bbox" -> geoBboxSql,
     "q_geo_distance" -> geoDistanceSql,
-    "q_geotile_grid" -> geotileGridSql
+    "q_geo_centroid" -> geoCentroidSql,
+    "q_geotile_grid" -> geotileGridSql,
+    "q_matrix_stats" -> matrixStatsSql,
+    "q_boxplot" -> boxplotSql,
+    "q_bucket_stats" -> bucketStatsSql,
+    "q_serial_diff" -> serialDiffSql,
+    "q_rank_feature" -> rankFeatureSql,
+    "q_rank_feature_index" -> rankFeatureSql // scoredMatches BM25 ≡ ordered-fold relational
   )
 }

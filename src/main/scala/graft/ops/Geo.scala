@@ -86,6 +86,20 @@ object Geo {
     * per-row (narrow); one aggregation; a single window over ≤ 4^z tile
     * rows ranks the result.
     */
+  /** geo_centroid (ES): per event_type, the arithmetic centroid of the
+    * derived points — exact integer sums, one double division per output
+    * row (ES computes the same running mean; arc-corrected centroids at
+    * 100 TB swap the projection, not the plan).
+    */
+  def geoCentroid(ev: DataFrame): DataFrame =
+    ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("clat")).as("sum_lat"), sum(col("clon")).as("sum_lon"))
+      .select(col("event_type"), col("n_events"),
+        (round(col("sum_lat").cast("double") / col("n_events") + lit(1.0e-9), 4) + lit(0.0)).as("centroid_lat"),
+        (round(col("sum_lon").cast("double") / col("n_events") + lit(1.0e-9), 4) + lit(0.0)).as("centroid_lon"))
+
   def geotileGrid(ev: DataFrame, zoom: Int = 4, n: Int = 10): DataFrame = {
     val cells = 1L << zoom
     val w = Window.orderBy(col("n_events").desc, col("tile_x").asc, col("tile_y").asc)

@@ -248,6 +248,143 @@ object AggsExt {
       .select("query_id", "n_docs", "min_len", "max_len", "sum_len", "avg_len", "entropy")
   }
 
+  /** matrix_stats (ES): pairwise count / mean / variance / covariance /
+    * correlation between two numeric per-doc fields over the match set
+    * (here `n_chars` × token count). All inner aggregates are exact long
+    * sums (sumA, sumB, sumA², sumB², sumAB); the moments derive in one
+    * double projection written identically in the oracle.
+    */
+  def matrixStats(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val a = col("n_chars")
+    val b = col("doclen")
+    val n = col("n_docs")
+    val meanA = col("sum_a").cast("double") / n
+    val meanB = col("sum_b").cast("double") / n
+    val varA = col("sum_a2").cast("double") / n - meanA * meanA
+    val varB = col("sum_b2").cast("double") / n - meanB * meanB
+    val cov = col("sum_ab").cast("double") / n - meanA * meanB
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), a), Seq("doc_id"))
+      .join(TextOps.doclens(docs), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(a).as("sum_a"), sum(b).as("sum_b"),
+        sum(a * a).as("sum_a2"), sum(b * b).as("sum_b2"),
+        sum(a * b).as("sum_ab"))
+      .select(col("query_id"), n,
+        (round(meanA + lit(1.0e-9), 4) + lit(0.0)).as("mean_a"),
+        (round(meanB + lit(1.0e-9), 4) + lit(0.0)).as("mean_b"),
+        (round(varA + lit(1.0e-9), 4) + lit(0.0)).as("var_a"),
+        (round(varB + lit(1.0e-9), 4) + lit(0.0)).as("var_b"),
+        (round(cov + lit(1.0e-9), 4) + lit(0.0)).as("covariance"),
+        (round(cov / sqrt(varA * varB) + lit(1.0e-9), 4) + lit(0.0)).as("correlation"))
+  }
+
+  /** boxplot + median_absolute_deviation (ES): five-number summary of a
+    * numeric field over the match set plus the MAD. Quantiles use linear
+    * interpolation at rank (n−1)p — Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share the definition, and interpolation of integer
+    * operands at p ∈ {.25,.5,.75} is exact in binary, so the doubles match
+    * bit-for-bit. MAD is a second pass over |x − median|.
+    */
+  def boxplot(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame = {
+    val m = SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+    val quart = m.groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_v"), max(col(field)).as("max_v"),
+        expr(s"percentile($field, 0.25)").as("q1"),
+        expr(s"percentile($field, 0.5)").as("q2"),
+        expr(s"percentile($field, 0.75)").as("q3"))
+    val mad = m.join(quart.select(col("query_id"), col("q2")), Seq("query_id"))
+      .groupBy("query_id")
+      .agg(expr(s"percentile(abs($field - q2), 0.5)").as("mad_raw"))
+    quart.join(mad, Seq("query_id"))
+      .select(col("query_id"), col("n_docs"), col("min_v"), col("max_v"),
+        (round(col("q1") + lit(1.0e-9), 4) + lit(0.0)).as("q1"),
+        (round(col("q2") + lit(1.0e-9), 4) + lit(0.0)).as("q2"),
+        (round(col("q3") + lit(1.0e-9), 4) + lit(0.0)).as("q3"),
+        (round(col("mad_raw") + lit(1.0e-9), 4) + lit(0.0)).as("mad"))
+  }
+
+  /** max_bucket / min_bucket / sum_bucket / avg_bucket (ES sibling pipeline
+    * aggs) over a terms aggregation on `source`: one row per query with the
+    * extreme buckets (ties broken by key ascending, the ES multi-key order)
+    * and the sum/avg across buckets. Bucket rows per query ≤ |sources|, so
+    * the windows are tiny.
+    */
+  def bucketStats(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val b = SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("query_id", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val wMax = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_docs").desc, col("source").asc)
+    val wMin = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_docs").asc, col("source").asc)
+    b.withColumn("rmax", row_number().over(wMax))
+      .withColumn("rmin", row_number().over(wMin))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_docs")).as("sum_docs"),
+        max(when(col("rmax") === 1, col("source"))).as("max_key"),
+        max(when(col("rmax") === 1, col("n_docs"))).as("max_docs"),
+        max(when(col("rmin") === 1, col("source"))).as("min_key"),
+        max(when(col("rmin") === 1, col("n_docs"))).as("min_docs"))
+      .withColumn("avg_docs",
+        round(col("sum_docs").cast("double") / col("n_buckets") + lit(1.0e-9), 4) + lit(0.0))
+  }
+
+  /** serial_diff (lag 7) + normalize (rescale_0_1) pipeline aggs over the
+    * date_histogram: per (query, day), the week-over-week delta (null for
+    * the first 7 buckets, as ES emits) and the count rescaled into [0,1]
+    * over the query's bucket range (null when max == min, div-by-zero
+    * guarded identically in the oracle).
+    */
+  def serialDiffNormalize(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val byDay = Window.partitionBy(col("query_id")).orderBy(col("day").asc)
+    val all = Window.partitionBy(col("query_id"))
+    SearchOps.dateHistogram(docs, queries)
+      .withColumn("sdiff7", col("n_docs") - lag(col("n_docs"), 7).over(byDay))
+      .withColumn("norm01",
+        round((col("n_docs") - min(col("n_docs")).over(all)).cast("double") /
+          nullif((max(col("n_docs")).over(all) - min(col("n_docs")).over(all)).cast("double"), lit(0.0))
+          + lit(1.0e-9), 4) + lit(0.0))
+  }
+
+  /** rank_feature query + min_score (ES): BM25 relevance multiplied by the
+    * saturation function `x / (x + pivot)` of a per-doc numeric feature
+    * (ES `rank_feature` with `saturation`, default-style pivot), hits below
+    * `min_score` dropped BEFORE ranking (the ES `min_score` contract), then
+    * top-k. Relational twin of [[IndexSearch.rankFeature]] — both share the
+    * exact ordered-fold BM25, so the min_score compare sees bit-identical
+    * doubles.
+    */
+  def rankFeatureTopK(docs: DataFrame, queries: Seq[(String, String)],
+      pivot: Double = 250.0, minScore: Double = 1.0, k: Int = 10): DataFrame =
+    rankFeatureTail(
+      Bm25Sql.scoredDocs(docs, queries).select("query_id", "doc_id", "score"),
+      docs, pivot, minScore, k)
+
+  /** Shared saturation-boost + min_score + top-k tail over any
+    * (query_id, doc_id, score) relation (relational or index-served).
+    */
+  private[query] def rankFeatureTail(scored: DataFrame, docs: DataFrame,
+      pivot: Double, minScore: Double, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score2").desc, col("doc_id").asc)
+    scored
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("score2",
+        col("score") * (col("n_chars") / (col("n_chars") + lit(pivot))))
+      .filter(col("score2") >= minScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (round(col("score2"), 4) + lit(0.0)).as("score"))
+  }
+
   /** terms_set query (ES): docs containing at least `minMatch` distinct
     * terms of the query's term set — the relational twin of the index-served
     * variant (the index side filters [[IndexSearch.scoredMatches]] on its

@@ -667,6 +667,18 @@ object IndexSearch {
       .filter(col("matched") >= minMatch)
       .select(col("query_id"), col("doc_id"), col("matched").as("n_matched"))
 
+  /** rank_feature + min_score served from the index: the term-pruned
+    * postings scan's exact BM25 ([[scoredMatches]], ordered-fold parity
+    * with the relational twin) through the shared saturation/min_score/
+    * top-k tail — the feature join touches only matched docs.
+    */
+  def rankFeature(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], docs: org.apache.spark.sql.DataFrame,
+      pivot: Double = 250.0, minScore: Double = 1.0, k: Int = 10): DataFrame =
+    AggsExt.rankFeatureTail(
+      scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
+      docs, pivot, minScore, k)
+
   /** Field collapsing served from the index (ES `collapse`): best doc per
     * (query, field value) over [[scoredMatches]], then the global top-k of
     * the representatives.

@@ -118,6 +118,71 @@ class AggsExtSpec extends SparkSpecBase {
     assert(!rel.exists(_(0) == "d2"))
   }
 
+  test("matrix_stats: correlation in [-1,1] and strongly positive for n_chars × doclen") {
+    val r = rows(AggsExt.matrixStats(docs, RefQueries.set))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val corr = row(7).asInstanceOf[Double]
+      assert(corr >= -1.0 && corr <= 1.0)
+      assert(corr > 0.5) // token count tracks char count on this corpus
+      assert(row(4).asInstanceOf[Double] >= 0.0 && row(5).asInstanceOf[Double] >= 0.0)
+    }
+  }
+
+  test("boxplot: five-number summary ordered; MAD non-negative and ≤ range/2 + tol") {
+    rows(AggsExt.boxplot(docs, RefQueries.set)).foreach { r =>
+      val (mn, mx) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      val (q1, q2, q3) = (r(4).asInstanceOf[Double], r(5).asInstanceOf[Double], r(6).asInstanceOf[Double])
+      val mad = r(7).asInstanceOf[Double]
+      assert(mn <= q1 && q1 <= q2 && q2 <= q3 && q3 <= mx)
+      assert(mad >= 0.0 && mad <= (mx - mn) / 2.0 + 1.0)
+    }
+  }
+
+  test("bucket_stats: sibling pipeline values consistent with the bucket set") {
+    rows(AggsExt.bucketStats(docs, RefQueries.set)).foreach { r =>
+      val (nb, sum) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      val (maxD, minD) = (r(4).asInstanceOf[Long], r(6).asInstanceOf[Long])
+      val avg = r(7).asInstanceOf[Double]
+      assert(minD <= avg && avg <= maxD)
+      assert(minD * nb <= sum && sum <= maxD * nb)
+    }
+  }
+
+  test("serial_diff + normalize: norm01 within [0,1]; sdiff7 null exactly for the first 7 buckets") {
+    val byQ = rows(AggsExt.serialDiffNormalize(docs, RefQueries.set).orderBy("query_id", "day"))
+      .groupBy(_(0)).values
+    byQ.foreach { g =>
+      g.zipWithIndex.foreach { case (row, i) =>
+        if (i < 7) assert(row(3) == null) else assert(row(3) != null)
+        val nrm = row(4)
+        if (nrm != null) {
+          val v = nrm.asInstanceOf[Double]
+          assert(v >= 0.0 && v <= 1.0)
+        }
+      }
+    }
+  }
+
+  test("rank_feature: index twin == relational; every hit clears min_score; saturation shrinks scores") {
+    val rel = AggsExt.rankFeatureTopK(docs, RefQueries.set).orderBy("query_id", "rank")
+    val idxDir = IndexCache.forDocuments(spark, sf)
+    val srv = graft.query.IndexSearch.rankFeature(spark, idxDir, RefQueries.set, docs)
+      .orderBy("query_id", "rank")
+    val (r1, r2) = (rows(rel), rows(srv))
+    assert(r1.nonEmpty && r1 == r2)
+    r1.foreach(r => assert(r(3).asInstanceOf[Double] >= 1.0))
+  }
+
+  test("geo_centroid: centroids inside the coordinate domain, counts total the corpus") {
+    val c = rows(Geo.geoCentroid(ev))
+    assert(c.map(_(1).asInstanceOf[Long]).sum == ev.count())
+    c.foreach { r =>
+      val (la, lo) = (r(2).asInstanceOf[Double], r(3).asInstanceOf[Double])
+      assert(la >= -9000 && la <= 9000 && lo >= -18000 && lo <= 18000)
+    }
+  }
+
   test("geo: bbox ⊆ corpus; distance counts per center; tiles within the 2^z grid") {
     val total = ev.count()
     val bbox = rows(Geo.boundingBox(ev))
