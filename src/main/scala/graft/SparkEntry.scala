@@ -698,6 +698,14 @@ object SparkEntry {
       val idx = IndexCache.forDocuments(s, d)
       IndexSearch.termsSet(s, idx, RefQueries.set).orderBy("query_id", "doc_id")
     }),
+    // ---- intervals query (ordered all_of + max_gaps): twins ----
+    "q_intervals" -> ((s, d) =>
+      SearchOps.intervalsCounts(TextOps.documents(s, d)).orderBy("rule_id", "doc_id")),
+    "q_intervals_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.intervalsMatch(s, pos, SearchOps.IntervalRules)
+        .orderBy("rule_id", "doc_id")
+    }),
     // ---- matrix / quantile / sibling-pipeline aggs ----
     "q_matrix_stats" -> ((s, d) =>
       AggsExt.matrixStats(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
@@ -1961,6 +1969,23 @@ object SparkEntry {
        |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term GROUP BY 1, 2)
        |SELECT query_id, doc_id, n_matched FROM c WHERE n_matched >= 2 ORDER BY query_id, doc_id""".stripMargin
 
+  private def intervalsSql: String = {
+    val span = 6 // maxGaps 4 + 2: k ≤ i + span
+    val ctes = graft.query.SearchOps.IntervalRules.map { case (rid, a, b, c) =>
+      s"""p_$rid AS (SELECT '$rid' AS rule_id, pa.doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, i FROM arridx WHERE toks[i] = '$a') pa
+         |  JOIN (SELECT doc_id, i AS j FROM arridx WHERE toks[i] = '$b') pb ON pa.doc_id = pb.doc_id AND pb.j > pa.i
+         |  JOIN (SELECT doc_id, i AS k FROM arridx WHERE toks[i] = '$c') pc ON pa.doc_id = pc.doc_id AND pc.k > pb.j AND pc.k <= pa.i + $span
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val union = graft.query.SearchOps.IntervalRules
+      .map { case (rid, _, _, _) => s"SELECT * FROM p_$rid" }.mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM arrs WHERE len(toks) >= 1),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY rule_id, doc_id""".stripMargin
+  }
+
   private def matrixStatsSql: String =
     s"""WITH $matchedCtes, $DL,
        |a AS (SELECT m.query_id, count(*)::BIGINT AS n_docs,
@@ -2681,6 +2706,8 @@ object SparkEntry {
     "q_bucket_stats" -> bucketStatsSql,
     "q_serial_diff" -> serialDiffSql,
     "q_rank_feature" -> rankFeatureSql,
-    "q_rank_feature_index" -> rankFeatureSql // scoredMatches BM25 ≡ ordered-fold relational
+    "q_rank_feature_index" -> rankFeatureSql, // scoredMatches BM25 ≡ ordered-fold relational
+    "q_intervals" -> intervalsSql,
+    "q_intervals_index" -> intervalsSql // positional-sidecar path ≡ relational twin
   )
 }

@@ -256,6 +256,69 @@ object Positions {
     * position (first-follower window (p, p+slop+1]) — O(|pa|·log|pb|) per
     * doc, no cross-doc state.
     */
+  /** intervals query (ES `intervals` all_of ordered + max_gaps) served
+    * from the positional sidecar: per (rule, doc) the ordered 3-term chain
+    * count with span ≤ 3+max_gaps — same pinned containment semantic as
+    * the relational twin (`SearchOps.intervalsCounts`). Scan pruned to the
+    * rules' terms (pushdown), per-bucket position maps, two binary-search
+    * bounds per (i, j) — O(|pa|·|pb_window|·log|pc|) per doc.
+    */
+  def intervalsMatch(spark: SparkSession, indexDir: String,
+      rules: Seq[(String, String, String, String)], maxGaps: Int = 4,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val allTerms = rules.flatMap { case (_, a, b, c) => Seq(a, b, c) }.distinct
+    val rulesB = spark.sparkContext.broadcast(rules)
+    val tombB = spark.sparkContext.broadcast(tombstones)
+    val span = maxGaps + 2
+
+    val rows = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("docId"), col("positions"))
+      .as[(Int, String, Long, Array[Int])]
+
+    def lb(arr: Array[Int], v: Int): Int = {
+      val i = java.util.Arrays.binarySearch(arr, v)
+      if (i >= 0) i else -i - 1
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val pos = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Array[Int]]]
+        it.foreach { case (_, term, docId, ps) =>
+          pos.getOrElseUpdate(term, scala.collection.mutable.HashMap.empty).put(docId, ps)
+        }
+        val tomb = tombB.value
+        rulesB.value.iterator.flatMap { case (rid, a, b, c) =>
+          (pos.get(a), pos.get(b), pos.get(c)) match {
+            case (Some(ma), Some(mb), Some(mc)) =>
+              ma.iterator.filter(e => !tomb.contains(e._1)).flatMap { case (docId, pa) =>
+                (mb.get(docId), mc.get(docId)) match {
+                  case (Some(pb), Some(pc)) =>
+                    var cnt = 0L
+                    var x = 0
+                    while (x < pa.length) {
+                      val i = pa(x)
+                      var y = lb(pb, i + 1)
+                      val yEnd = lb(pb, i + span) // j ≤ i + span - 1
+                      while (y < yEnd) {
+                        val j = pb(y)
+                        cnt += lb(pc, i + span + 1) - lb(pc, j + 1) // j < k ≤ i + span
+                        y += 1
+                      }
+                      x += 1
+                    }
+                    if (cnt > 0) Iterator.single((rid, docId, cnt)) else Iterator.empty
+                  case _ => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("rule_id", "doc_id", "n_matches")
+  }
+
   def spanNearMatch(spark: SparkSession, indexDir: String,
       pairs: Seq[(String, String, String)], slop: Int = 3,
       tombstones: Set[Long] = Set.empty): DataFrame = {

@@ -888,6 +888,47 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** intervals-query rules (ES `intervals`, `all_of` with `ordered: true`
+    * and `max_gaps`): three terms that must appear in order within the gap
+    * budget. Pinned counting semantic (oracle-checked): the number of
+    * ordered position tuples (i < j < k) with span k−i+1 ≤ 3+max_gaps —
+    * a containment count rather than ES's minimal-interval enumeration,
+    * the same pinning discipline as the other positional twins.
+    */
+  val IntervalRules: Seq[(String, String, String, String)] = Seq(
+    ("i1", "hash", "join", "merge"),
+    ("i2", "the", "spark", "query"),
+    ("i3", "vector", "column", "scan"),
+    ("i4", "spark", "table", "missingzzz"))
+
+  /** intervals query, relational twin: per (rule, doc), ordered 3-term
+    * chains within the span budget — one narrow per-doc fold over the
+    * corpus scan (positions per term bounded by doclen), no shuffle until
+    * the final (tiny) result. The index twin is `Positions.intervalsMatch`.
+    */
+  def intervalsCounts(docs: DataFrame,
+      rules: Seq[(String, String, String, String)] = IntervalRules,
+      maxGaps: Int = 4): DataFrame = {
+    val toks = col("toks")
+    val span = maxGaps + 2 // k ≤ i + span
+    val perRule = rules.map { case (rid, a, b, c) =>
+      val pa = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === a)
+      val pb = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === b)
+      val pc = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === c)
+      val cnt = aggregate(pa, lit(0L), (acc, i) =>
+        acc + aggregate(filter(pb, j => j > i && j <= i + span - 1), lit(0L), (acc2, j) =>
+          acc2 + size(filter(pc, k => k > j && k <= i + span)).cast("long")))
+      struct(lit(rid).as("rule_id"),
+        when(size(toks) > 0, cnt).otherwise(lit(0L)).as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(perRule: _*)).as("m"))
+      .select(col("m.rule_id").as("rule_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** match_phrase_prefix probes: all-but-last tokens match exactly, the
     * last is a prefix ("hash jo" ⇒ `hash` then any `jo…` term next).
     */

@@ -174,6 +174,21 @@ class AggsExtSpec extends SparkSpecBase {
     r1.foreach(r => assert(r(3).asInstanceOf[Double] >= 1.0))
   }
 
+  test("intervals: sidecar twin == relational; widening max_gaps never loses matches") {
+    import graft.query.SearchOps
+    val rel = rows(SearchOps.intervalsCounts(docs).orderBy("rule_id", "doc_id"))
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val srv = rows(graft.index.Positions.intervalsMatch(spark, pos, SearchOps.IntervalRules)
+      .orderBy("rule_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    // absent-term rule matches nothing
+    assert(!rel.exists(_(0) == "i4"))
+    // monotonicity in the gap budget
+    val tight = SearchOps.intervalsCounts(docs, maxGaps = 0).count()
+    val wide = SearchOps.intervalsCounts(docs, maxGaps = 10).count()
+    assert(tight <= rel.size && rel.size <= wide)
+  }
+
   test("geo_centroid: centroids inside the coordinate domain, counts total the corpus") {
     val c = rows(Geo.geoCentroid(ev))
     assert(c.map(_(1).asInstanceOf[Long]).sum == ev.count())
