@@ -706,6 +706,30 @@ object SparkEntry {
       graft.index.Positions.intervalsMatch(s, pos, SearchOps.IntervalRules)
         .orderBy("rule_id", "doc_id")
     }),
+    // ---- sampler / diversified_sampler / distance_feature: twins ----
+    "q_sampler_agg" -> ((s, d) =>
+      AggsExt.samplerAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "lang")),
+    "q_sampler_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.samplerAgg(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "lang")
+    }),
+    "q_diversified_sampler" -> ((s, d) =>
+      AggsExt.diversifiedSamplerAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "lang")),
+    "q_diversified_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.diversifiedSamplerAgg(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "lang")
+    }),
+    "q_distance_feature" -> ((s, d) =>
+      AggsExt.distanceFeatureTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_distance_feature_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.distanceFeature(s, idx, RefQueries.set, TextOps.documents(s, d))
+        .orderBy("query_id", "rank")
+    }),
     // ---- matrix / quantile / sibling-pipeline aggs ----
     "q_matrix_stats" -> ((s, d) =>
       AggsExt.matrixStats(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
@@ -1969,6 +1993,46 @@ object SparkEntry {
        |      FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) dt ON q.term = dt.term GROUP BY 1, 2)
        |SELECT query_id, doc_id, n_matched FROM c WHERE n_matched >= 2 ORDER BY query_id, doc_id""".stripMargin
 
+  /** Shared exact-BM25 `scored` CTE chain (the bm25Sql WITH body) for
+    * oracles that post-process raw scores.
+    */
+  private def bm25ScoredCtes: String =
+    s"""$TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def samplerSql(diversified: Boolean): String = {
+    val pool =
+      if (diversified)
+        """div AS (SELECT *, row_number() OVER (PARTITION BY query_id, source ORDER BY score DESC, doc_id ASC) AS src_rank FROM j),
+          |pool AS (SELECT query_id, lang, score, doc_id FROM div WHERE src_rank <= 3),""".stripMargin
+      else
+        """pool AS (SELECT query_id, lang, score, doc_id FROM j),"""
+    s"""WITH $bm25ScoredCtes,
+       |j AS (SELECT s.query_id, s.doc_id, s.score, d.source, d.lang FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |$pool
+       |r AS (SELECT query_id, lang, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM pool)
+       |SELECT query_id, lang, count(*)::BIGINT AS n_docs FROM r WHERE rank <= 20
+       |GROUP BY 1, 2 ORDER BY query_id, lang""".stripMargin
+  }
+
+  private def distanceFeatureSql: String =
+    s"""WITH $bm25ScoredCtes,
+       |s2 AS (SELECT s.query_id, s.doc_id, s.score + 50.0 / (50.0 + abs(d.n_chars - 300)) AS score2
+       |       FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score2 DESC, doc_id ASC)::INT AS rank, doc_id, round(score2, 4) + 0.0 AS score FROM s2)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
+
   private def intervalsSql: String = {
     val span = 6 // maxGaps 4 + 2: k ≤ i + span
     val ctes = graft.query.SearchOps.IntervalRules.map { case (rid, a, b, c) =>
@@ -2708,6 +2772,12 @@ object SparkEntry {
     "q_rank_feature" -> rankFeatureSql,
     "q_rank_feature_index" -> rankFeatureSql, // scoredMatches BM25 ≡ ordered-fold relational
     "q_intervals" -> intervalsSql,
-    "q_intervals_index" -> intervalsSql // positional-sidecar path ≡ relational twin
+    "q_intervals_index" -> intervalsSql, // positional-sidecar path ≡ relational twin
+    "q_sampler_agg" -> samplerSql(diversified = false),
+    "q_sampler_index" -> samplerSql(diversified = false),
+    "q_diversified_sampler" -> samplerSql(diversified = true),
+    "q_diversified_index" -> samplerSql(diversified = true),
+    "q_distance_feature" -> distanceFeatureSql,
+    "q_distance_feature_index" -> distanceFeatureSql
   )
 }

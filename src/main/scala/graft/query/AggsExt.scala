@@ -385,6 +385,67 @@ object AggsExt {
         (round(col("score2"), 4) + lit(0.0)).as("score"))
   }
 
+  /** sampler / diversified_sampler aggregations (ES): restrict a sub-agg
+    * (here a lang terms agg) to the `shard_size` best-scoring hits; the
+    * diversified variant first caps hits per `source` value at
+    * `maxPerValue` (ES `max_docs_per_value`). Deterministic ranking
+    * (exact BM25 desc, doc_id asc), so the sample — and therefore the
+    * sub-agg — is oracle-exact. Shared tail for the relational and
+    * index-served twins.
+    */
+  private[query] def samplerTail(scored: DataFrame, docs: DataFrame,
+      shardSize: Int, maxPerValue: Option[Int]): DataFrame = {
+    val base = scored.join(
+      docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+    val diversified = maxPerValue.fold(base) { cap =>
+      val wSrc = Window.partitionBy(col("query_id"), col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      base.withColumn("src_rank", row_number().over(wSrc))
+        .filter(col("src_rank") <= cap)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    diversified
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shardSize)
+      .groupBy("query_id", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  def samplerAgg(docs: DataFrame, queries: Seq[(String, String)],
+      shardSize: Int = 20): DataFrame =
+    samplerTail(Bm25Sql.scoredDocs(docs, queries)
+      .select("query_id", "doc_id", "score"), docs, shardSize, None)
+
+  def diversifiedSamplerAgg(docs: DataFrame, queries: Seq[(String, String)],
+      shardSize: Int = 20, maxPerValue: Int = 3): DataFrame =
+    samplerTail(Bm25Sql.scoredDocs(docs, queries)
+      .select("query_id", "doc_id", "score"), docs, shardSize, Some(maxPerValue))
+
+  /** distance_feature query (ES): relevance boosted by closeness of a
+    * numeric field to an origin — `pivot / (pivot + |x − origin|)` ADDED to
+    * the BM25 score (the ES bool-sum contract), then top-k. Shared tail;
+    * both twins see bit-identical doubles.
+    */
+  private[query] def distanceFeatureTail(scored: DataFrame, docs: DataFrame,
+      origin: Long, pivot: Double, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score2").desc, col("doc_id").asc)
+    scored
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("score2",
+        col("score") + lit(pivot) / (lit(pivot) + abs(col("n_chars") - lit(origin)).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (round(col("score2"), 4) + lit(0.0)).as("score"))
+  }
+
+  def distanceFeatureTopK(docs: DataFrame, queries: Seq[(String, String)],
+      origin: Long = 300L, pivot: Double = 50.0, k: Int = 10): DataFrame =
+    distanceFeatureTail(Bm25Sql.scoredDocs(docs, queries)
+      .select("query_id", "doc_id", "score"), docs, origin, pivot, k)
+
   /** terms_set query (ES): docs containing at least `minMatch` distinct
     * terms of the query's term set — the relational twin of the index-served
     * variant (the index side filters [[IndexSearch.scoredMatches]] on its

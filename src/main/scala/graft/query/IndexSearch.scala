@@ -679,6 +679,34 @@ object IndexSearch {
       scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
       docs, pivot, minScore, k)
 
+  /** sampler / diversified_sampler aggregations served from the index:
+    * term-pruned exact-BM25 matches through the shared sample-then-sub-agg
+    * tail; the stored-field join touches only matched docs.
+    */
+  def samplerAgg(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], docs: org.apache.spark.sql.DataFrame,
+      shardSize: Int = 20): DataFrame =
+    AggsExt.samplerTail(
+      scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
+      docs, shardSize, None)
+
+  def diversifiedSamplerAgg(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], docs: org.apache.spark.sql.DataFrame,
+      shardSize: Int = 20, maxPerValue: Int = 3): DataFrame =
+    AggsExt.samplerTail(
+      scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
+      docs, shardSize, Some(maxPerValue))
+
+  /** distance_feature served from the index — shared additive-boost tail
+    * over [[scoredMatches]]'s exact BM25.
+    */
+  def distanceFeature(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], docs: org.apache.spark.sql.DataFrame,
+      origin: Long = 300L, pivot: Double = 50.0, k: Int = 10): DataFrame =
+    AggsExt.distanceFeatureTail(
+      scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
+      docs, origin, pivot, k)
+
   /** Field collapsing served from the index (ES `collapse`): best doc per
     * (query, field value) over [[scoredMatches]], then the global top-k of
     * the representatives.

@@ -189,6 +189,34 @@ class AggsExtSpec extends SparkSpecBase {
     assert(tight <= rel.size && rel.size <= wide)
   }
 
+  test("sampler twins equal; sample bounded by shard_size; diversification changes the sample") {
+    val idxDir = IndexCache.forDocuments(spark, sf)
+    val rel = rows(AggsExt.samplerAgg(docs, RefQueries.set).orderBy("query_id", "lang"))
+    val srv = rows(graft.query.IndexSearch.samplerAgg(spark, idxDir, RefQueries.set, docs)
+      .orderBy("query_id", "lang"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.groupBy(_(0)).values.foreach(g => assert(g.map(_(2).asInstanceOf[Long]).sum <= 20))
+    val div = rows(AggsExt.diversifiedSamplerAgg(docs, RefQueries.set, maxPerValue = 1)
+      .orderBy("query_id", "lang"))
+    assert(div != rel) // a per-source cap of 1 must reshape the sample on this corpus
+  }
+
+  test("distance_feature twins equal; boost bounded by pivot contract (≤1 added)") {
+    val idxDir = IndexCache.forDocuments(spark, sf)
+    val rel = rows(AggsExt.distanceFeatureTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(graft.query.IndexSearch.distanceFeature(spark, idxDir, RefQueries.set, docs)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    val plain = rows(graft.query.Bm25Sql.topKDocs(docs, RefQueries.set, k = 10))
+      .map(r => (r(0), r(2)) -> r(3).asInstanceOf[Double]).toMap
+    rel.foreach { r =>
+      plain.get((r(0), r(2))).foreach { base =>
+        val boosted = r(3).asInstanceOf[Double]
+        assert(boosted >= base - 1e-4 && boosted <= base + 1.0 + 1e-4)
+      }
+    }
+  }
+
   test("geo_centroid: centroids inside the coordinate domain, counts total the corpus") {
     val c = rows(Geo.geoCentroid(ev))
     assert(c.map(_(1).asInstanceOf[Long]).sum == ev.count())
