@@ -706,6 +706,24 @@ object SparkEntry {
       graft.index.Positions.intervalsMatch(s, pos, SearchOps.IntervalRules)
         .orderBy("rule_id", "doc_id")
     }),
+    // ---- pinned / span_first / auto_date_histogram ----
+    "q_pinned" -> ((s, d) =>
+      AggsExt.pinnedTopK(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_pinned_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.pinnedTopK(s, idx, RefQueries.set).orderBy("query_id", "rank")
+    }),
+    "q_span_first" -> ((s, d) =>
+      SearchOps.spanFirstCounts(TextOps.documents(s, d)).orderBy("probe_id", "doc_id")),
+    "q_span_first_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.spanFirstMatch(s, pos, SearchOps.SpanFirstProbes)
+        .orderBy("probe_id", "doc_id")
+    }),
+    "q_auto_date_histogram" -> ((s, d) =>
+      AggsExt.autoDateHistogram(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "bucket")),
     // ---- sampler / diversified_sampler / distance_feature: twins ----
     "q_sampler_agg" -> ((s, d) =>
       AggsExt.samplerAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "lang")),
@@ -2033,6 +2051,45 @@ object SparkEntry {
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score2 DESC, doc_id ASC)::INT AS rank, doc_id, round(score2, 4) + 0.0 AS score FROM s2)
        |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= ${RefQueries.K} ORDER BY query_id, rank""".stripMargin
 
+  private def pinnedSql: String = {
+    val ids = graft.query.AggsExt.PinnedIds
+    val pinnedVals = ids.zipWithIndex
+      .map { case (id, i) => s"(${i + 1}, $id)" }.mkString(", ")
+    val qVals = RefQueries.set.map { case (qid, _) => s"('$qid')" }.mkString(", ")
+    s"""WITH $bm25ScoredCtes,
+       |pq(query_id) AS (VALUES $qVals),
+       |pinned AS (SELECT query_id, p.rank, p.doc_id FROM pq CROSS JOIN (VALUES $pinnedVals) p(rank, doc_id)),
+       |organic AS (SELECT query_id, (row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) + ${ids.size})::INT AS rank, doc_id, round(score, 4) + 0.0 AS score
+       |            FROM scored WHERE doc_id NOT IN (${ids.mkString(", ")})),
+       |u AS (SELECT query_id, rank::INT AS rank, doc_id::BIGINT AS doc_id, TRUE AS is_pinned, NULL::DOUBLE AS score FROM pinned
+       |      UNION ALL SELECT query_id, rank, doc_id, FALSE, score FROM organic WHERE rank <= ${RefQueries.K})
+       |SELECT query_id, rank, doc_id, is_pinned, score FROM u ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def spanFirstSql: String = {
+    val vals = graft.query.SearchOps.SpanFirstProbes
+      .map { case (pid, t, end) => s"('$pid','$t',$end)" }.mkString(", ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |p(probe_id, term, maxpos) AS (VALUES $vals),
+       |f AS (SELECT p.probe_id, a.doc_id, list_position(a.toks, p.term)::BIGINT AS first_pos, p.maxpos
+       |      FROM arrs a CROSS JOIN p)
+       |SELECT probe_id, doc_id, first_pos FROM f
+       |WHERE first_pos >= 1 AND first_pos <= maxpos ORDER BY probe_id, doc_id""".stripMargin
+  }
+
+  private def autoDateHistogramSql: String =
+    s"""WITH $matchedCtes,
+       |md AS (SELECT query_id, doc_id, CAST((doc_id * 786413 % 5184000) // 86400 AS INTEGER) AS d FROM m),
+       |choice AS (SELECT query_id,
+       |             CASE WHEN count(DISTINCT d) <= 10 THEN '1d'
+       |                  WHEN count(DISTINCT d // 7) <= 10 THEN '7d'
+       |                  ELSE '30d' END AS ival FROM md GROUP BY 1),
+       |b AS (SELECT md.query_id, c.ival,
+       |        (CASE WHEN c.ival = '1d' THEN d WHEN c.ival = '7d' THEN d // 7 ELSE d // 30 END)::BIGINT AS bucket
+       |      FROM md JOIN choice c ON md.query_id = c.query_id)
+       |SELECT query_id, ival, bucket, count(*)::BIGINT AS n_docs FROM b
+       |GROUP BY 1, 2, 3 ORDER BY query_id, bucket""".stripMargin
+
   private def intervalsSql: String = {
     val span = 6 // maxGaps 4 + 2: k ≤ i + span
     val ctes = graft.query.SearchOps.IntervalRules.map { case (rid, a, b, c) =>
@@ -2778,6 +2835,11 @@ object SparkEntry {
     "q_diversified_sampler" -> samplerSql(diversified = true),
     "q_diversified_index" -> samplerSql(diversified = true),
     "q_distance_feature" -> distanceFeatureSql,
-    "q_distance_feature_index" -> distanceFeatureSql
+    "q_distance_feature_index" -> distanceFeatureSql,
+    "q_pinned" -> pinnedSql,
+    "q_pinned_index" -> pinnedSql,
+    "q_span_first" -> spanFirstSql,
+    "q_span_first_index" -> spanFirstSql, // sidecar head-position path ≡ relational twin
+    "q_auto_date_histogram" -> autoDateHistogramSql
   )
 }

@@ -319,6 +319,34 @@ object Positions {
       .toDF("rule_id", "doc_id", "n_matches")
   }
 
+  /** span_first (ES) served from the positional sidecar: term-pruned scan,
+    * the head of each (term, doc) position list IS the first occurrence —
+    * no per-doc fold at all. Sidecar positions are 0-based; emitted
+    * 1-based to match the relational twin's `array_position` contract.
+    */
+  def spanFirstMatch(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String, Int)],
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val terms = probes.map(_._2).distinct
+    val probesB = spark.sparkContext.broadcast(probes)
+    val tombB = spark.sparkContext.broadcast(tombstones)
+    spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("docId"), col("positions"))
+      .as[(String, Long, Array[Int])]
+      .flatMap { case (term, docId, ps) =>
+        if (tombB.value.contains(docId) || ps.isEmpty) Iterator.empty
+        else {
+          val first = ps(0) + 1L
+          probesB.value.iterator.collect {
+            case (pid, t, end) if t == term && first <= end => (pid, docId, first)
+          }
+        }
+      }
+      .toDF("probe_id", "doc_id", "first_pos")
+  }
+
   def spanNearMatch(spark: SparkSession, indexDir: String,
       pairs: Seq[(String, String, String)], slop: Int = 3,
       tombstones: Set[Long] = Set.empty): DataFrame = {

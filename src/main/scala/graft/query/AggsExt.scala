@@ -446,6 +446,71 @@ object AggsExt {
     distanceFeatureTail(Bm25Sql.scoredDocs(docs, queries)
       .select("query_id", "doc_id", "score"), docs, origin, pivot, k)
 
+  /** pinned-query fixture: ids promoted (in this order) ahead of organic
+    * relevance for every query — mirrored as literals in the oracle.
+    */
+  val PinnedIds: Seq[Long] = Seq(3L, 1L, 7L)
+
+  /** pinned query (ES `pinned`): the given ids rank first in their given
+    * order regardless of relevance (score null, as ES's synthetic
+    * pinned scores are not comparable), organic BM25 hits follow with the
+    * pinned ids excluded; `k` bounds the TOTAL ranks. Shared tail for the
+    * relational and index-served twins.
+    */
+  private[query] def pinnedTail(scored: DataFrame, queries: Seq[(String, String)],
+      pinnedIds: Seq[Long], k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val p = queries.map(_._1)
+      .flatMap(q => pinnedIds.zipWithIndex.map { case (id, i) => (q, i + 1, id) })
+      .toDF("query_id", "rank", "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        lit(true).as("is_pinned"), lit(null).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score0").desc, col("doc_id").asc)
+    val organic = scored.withColumnRenamed("score", "score0")
+      .filter(!col("doc_id").isin(pinnedIds: _*))
+      .withColumn("rank", row_number().over(w) + lit(pinnedIds.size))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        lit(false).as("is_pinned"),
+        (round(col("score0"), 4) + lit(0.0)).as("score"))
+    p.unionByName(organic)
+  }
+
+  def pinnedTopK(docs: DataFrame, queries: Seq[(String, String)],
+      pinnedIds: Seq[Long] = PinnedIds, k: Int = 10): DataFrame =
+    pinnedTail(Bm25Sql.scoredDocs(docs, queries)
+      .select("query_id", "doc_id", "score"), queries, pinnedIds, k)
+
+  /** auto_date_histogram (ES): the engine picks the coarsest-necessary
+    * calendar interval so the bucket count fits `target` — ladder pinned to
+    * 1d/7d/30d over the harness crawl-day derivation. Selection is a
+    * per-query aggregate (three distinct-counts), then one aggregation at
+    * the chosen granularity; the tiny choice table broadcasts.
+    */
+  def autoDateHistogram(docs: DataFrame, queries: Seq[(String, String)],
+      target: Int = 10): DataFrame = {
+    val m = SearchOps.matchedSet(docs, queries)
+      .withColumn("d", expr("CAST((doc_id * 786413 % 5184000) DIV 86400 AS INT)"))
+    val choice = m.groupBy("query_id")
+      .agg(count_distinct(col("d")).as("n_day"),
+        count_distinct(expr("d DIV 7")).as("n_week"),
+        count_distinct(expr("d DIV 30")).as("n_month"))
+      .withColumn("ival",
+        when(col("n_day") <= target, lit("1d"))
+          .when(col("n_week") <= target, lit("7d"))
+          .otherwise(lit("30d")))
+      .select("query_id", "ival")
+    m.join(broadcast(choice), Seq("query_id"))
+      .withColumn("bucket",
+        when(col("ival") === "1d", col("d"))
+          .when(col("ival") === "7d", expr("d DIV 7"))
+          .otherwise(expr("d DIV 30")).cast("long"))
+      .groupBy("query_id", "ival", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** terms_set query (ES): docs containing at least `minMatch` distinct
     * terms of the query's term set — the relational twin of the index-served
     * variant (the index side filters [[IndexSearch.scoredMatches]] on its

@@ -707,6 +707,16 @@ object IndexSearch {
       scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
       docs, origin, pivot, k)
 
+  /** pinned query served from the index — shared pin-then-organic tail
+    * over [[scoredMatches]]'s exact BM25.
+    */
+  def pinnedTopK(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)],
+      pinnedIds: Seq[Long] = AggsExt.PinnedIds, k: Int = 10): DataFrame =
+    AggsExt.pinnedTail(
+      scoredMatches(spark, indexDir, queries).select("query_id", "doc_id", "score"),
+      queries, pinnedIds, k)
+
   /** Field collapsing served from the index (ES `collapse`): best doc per
     * (query, field value) over [[scoredMatches]], then the global top-k of
     * the representatives.

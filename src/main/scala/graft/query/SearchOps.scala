@@ -929,6 +929,37 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** span_first probes (ES `span_first`): (probe, term, end) — the term
+    * must occur within the first `end` token positions (1-based).
+    */
+  val SpanFirstProbes: Seq[(String, String, Int)] = Seq(
+    ("f1", "spark", 10),
+    ("f2", "the", 5),
+    ("f3", "merge", 25),
+    ("f4", "missingzzz", 20))
+
+  /** span_first, relational twin: per (probe, doc), the term's FIRST
+    * position when it falls inside the window — `array_position` on the
+    * tokenized text, one narrow map over the corpus scan. Index twin:
+    * `Positions.spanFirstMatch` (sidecar head positions).
+    */
+  def spanFirstCounts(docs: DataFrame,
+      probes: Seq[(String, String, Int)] = SpanFirstProbes): DataFrame = {
+    val toks = col("toks")
+    val perProbe = probes.map { case (pid, term, end) =>
+      struct(lit(pid).as("probe_id"),
+        array_position(toks, term).as("first_pos"),
+        lit(end).as("maxpos"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(perProbe: _*)).as("m"))
+      .filter(col("m.first_pos") >= 1 && col("m.first_pos") <= col("m.maxpos"))
+      .select(col("m.probe_id").as("probe_id"), col("doc_id"),
+        col("m.first_pos").as("first_pos"))
+  }
+
   /** match_phrase_prefix probes: all-but-last tokens match exactly, the
     * last is a prefix ("hash jo" ⇒ `hash` then any `jo…` term next).
     */

@@ -217,6 +217,48 @@ class AggsExtSpec extends SparkSpecBase {
     }
   }
 
+  test("pinned: twins equal; pinned ids lead in order; organic excludes them; k total ranks") {
+    val idxDir = IndexCache.forDocuments(spark, sf)
+    val rel = rows(AggsExt.pinnedTopK(docs, RefQueries.set).orderBy("query_id", "rank"))
+    val srv = rows(graft.query.IndexSearch.pinnedTopK(spark, idxDir, RefQueries.set)
+      .orderBy("query_id", "rank"))
+    assert(rel.nonEmpty && rel == srv)
+    rel.groupBy(_(0)).values.foreach { g =>
+      val sorted = g.sortBy(_(1).asInstanceOf[Int])
+      assert(sorted.size <= 10)
+      assert(sorted.take(3).map(_(2)) == AggsExt.PinnedIds)
+      assert(sorted.take(3).forall(_(3) == true))
+      assert(sorted.drop(3).forall(r => r(3) == false && !AggsExt.PinnedIds.contains(r(2))))
+    }
+  }
+
+  test("span_first: sidecar twin == relational; first_pos within each probe window") {
+    import graft.query.SearchOps
+    val rel = rows(SearchOps.spanFirstCounts(docs).orderBy("probe_id", "doc_id"))
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val srv = rows(graft.index.Positions.spanFirstMatch(spark, pos, SearchOps.SpanFirstProbes)
+      .orderBy("probe_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    val windows = SearchOps.SpanFirstProbes.map(p => p._1 -> p._3).toMap
+    rel.foreach { r =>
+      val fp = r(2).asInstanceOf[Long]
+      assert(fp >= 1 && fp <= windows(r(0).asInstanceOf[String]))
+    }
+    assert(!rel.exists(_(0) == "f4")) // absent term matches nothing
+  }
+
+  test("auto_date_histogram: chosen interval's bucket count fits the target") {
+    val r = rows(AggsExt.autoDateHistogram(docs, RefQueries.set, target = 10))
+    assert(r.nonEmpty)
+    r.groupBy(_(0)).values.foreach { g =>
+      assert(g.map(_(1)).distinct.size == 1) // one interval per query
+      assert(g.size <= 10) // the point of the operator
+    }
+    // a generous target must select the finest interval
+    val fine = rows(AggsExt.autoDateHistogram(docs, RefQueries.set, target = 100))
+    assert(fine.forall(_(1) == "1d"))
+  }
+
   test("geo_centroid: centroids inside the coordinate domain, counts total the corpus") {
     val c = rows(Geo.geoCentroid(ev))
     assert(c.map(_(1).asInstanceOf[Long]).sum == ev.count())
