@@ -230,6 +230,29 @@ object PlanCheck {
       wants = Seq("GreaterThan(docId", "PartitionFilters: [dbucket", "TakeOrderedAndProject"),
       rejects = Seq("documents.parquet", "Exchange rangepartitioning"))
 
+    // 9h. round-5 extended query surface: every new index-served twin must
+    // keep the postings/positions scan term-pruned and never touch the
+    // corpus except via the bounded stored-field join (docs projected to
+    // 2-3 columns, matched rows only — assert the posting scan is pruned).
+    val rfPlan = graft.query.IndexSearch.rankFeature(spark, idx, graft.RefQueries.set, docsDf)
+      .queryExecution.explainString(fmt)
+    println("CHECK want 'rank_feature postings scans term-pruned': " +
+      (if (scansPruned(rfPlan, "postings", "In(term")) "OK" else "MISSING"))
+    val smPlan = graft.query.IndexSearch.samplerAgg(spark, idx, graft.RefQueries.set, docsDf)
+      .queryExecution.explainString(fmt)
+    println("CHECK want 'sampler postings scans term-pruned': " +
+      (if (scansPruned(smPlan, "postings", "In(term")) "OK" else "MISSING"))
+    check("intervals via positional sidecar (term-pruned, no corpus)",
+      graft.index.Positions.intervalsMatch(spark, posDir, graft.query.SearchOps.IntervalRules)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    check("span_first via sidecar head positions (term-pruned, no corpus, no shuffle)",
+      graft.index.Positions.spanFirstMatch(spark, posDir, graft.query.SearchOps.SpanFirstProbes)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "Exchange hashpartitioning"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString
