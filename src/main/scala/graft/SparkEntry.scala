@@ -775,7 +775,25 @@ object SparkEntry {
     "q_geo_centroid" -> ((s, d) =>
       Geo.geoCentroid(Geo.events(s, d)).orderBy("event_type")),
     "q_geotile_grid" -> ((s, d) =>
-      Geo.geotileGrid(Geo.events(s, d)).orderBy("rank"))
+      Geo.geotileGrid(Geo.events(s, d)).orderBy("rank")),
+    "q_geo_bounds" -> ((s, d) =>
+      Geo.geoBounds(Geo.events(s, d)).orderBy("event_type")),
+    // ---- final aggregation-DSL batch: date_range, percentile_ranks,
+    // bucket_script/percentiles_bucket, t_test, significant_text ----
+    "q_date_range_agg" -> ((s, d) =>
+      AggsExt.dateRangeAgg(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "key")),
+    "q_percentile_ranks" -> ((s, d) =>
+      AggsExt.percentileRanks(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "value")),
+    "q_bucket_script" -> ((s, d) =>
+      AggsExt.bucketScript(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "day")),
+    "q_ttest" -> ((s, d) =>
+      AggsExt.tTest(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_sig_text" -> ((s, d) =>
+      SearchOps.significantText(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "rank"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2215,6 +2233,94 @@ object SparkEntry {
        |r AS (SELECT row_number() OVER (ORDER BY n_events DESC, tile_x ASC, tile_y ASC)::INT AS rank, tile_x, tile_y, n_events FROM g)
        |SELECT rank, tile_x, tile_y, n_events FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  private def geoBoundsSql: String =
+    s"""WITH ev AS (SELECT event_type, ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |       min(clat)::BIGINT AS lat_lo, max(clat)::BIGINT AS lat_hi,
+       |       min(clon)::BIGINT AS lon_lo, max(clon)::BIGINT AS lon_hi
+       |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** The DuckDB twin of SearchOps.crawlDay (shared by the date-agg oracles). */
+  private def daySql(idCol: String = "doc_id") =
+    s"strftime(DATE '2025-01-01' + CAST(($idCol * 786413 % 5184000) // 86400 AS INTEGER), '%Y-%m-%d')"
+
+  private def dateRangeSql: String = {
+    val vals = graft.query.AggsExt.DateRanges.map { case (k, f, t) =>
+      def q(o: Option[String]) = o.map(s => s"'$s'").getOrElse("NULL")
+      s"('$k', ${q(f)}, ${q(t)})"
+    }.mkString(", ")
+    s"""WITH $matchedCtes,
+       |md AS (SELECT query_id, ${daySql()} AS day FROM m),
+       |r(key, from_day, to_day) AS (VALUES $vals)
+       |SELECT md.query_id, r.key, count(*)::BIGINT AS n_docs
+       |FROM md JOIN r ON (r.from_day IS NULL OR md.day >= r.from_day)
+       |             AND (r.to_day IS NULL OR md.day < r.to_day)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  private def percentileRanksSql: String = {
+    val probes = Seq(500L, 1500L, 3000L)
+    val sums = probes.map(v =>
+      s"sum(CASE WHEN d.n_chars <= $v THEN 1 ELSE 0 END)::BIGINT AS le_$v").mkString(", ")
+    val arms = probes.map(v =>
+      s"SELECT query_id, $v::BIGINT AS value, round(le_$v::DOUBLE * 100.0 / n_docs + 1.0e-9, 4) + 0.0 AS pct_rank FROM a")
+      .mkString(" UNION ALL ")
+    s"""WITH $matchedCtes,
+       |a AS (SELECT m.query_id, count(*)::BIGINT AS n_docs, $sums
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1)
+       |$arms ORDER BY query_id, value""".stripMargin
+  }
+
+  private def bucketScriptSql: String =
+    s"""WITH $matchedCtes,
+       |b AS (SELECT m.query_id, ${daySql("m.doc_id")} AS day, count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2),
+       |med AS (SELECT query_id, round(quantile_cont(n_docs, 0.5) + 1.0e-9, 4) + 0.0 AS p50_docs FROM b GROUP BY 1),
+       |tot AS (SELECT query_id, sum(n_docs)::BIGINT AS tot_docs FROM b GROUP BY 1)
+       |SELECT b.query_id, b.day, b.n_docs, b.sum_chars,
+       |       round(b.sum_chars::DOUBLE / b.n_docs + 1.0e-9, 4) + 0.0 AS avg_chars,
+       |       round(b.n_docs::DOUBLE * 100.0 / tot.tot_docs + 1.0e-9, 4) + 0.0 AS pct_of_total,
+       |       med.p50_docs
+       |FROM b JOIN med ON b.query_id = med.query_id JOIN tot ON b.query_id = tot.query_id
+       |ORDER BY 1, 2""".stripMargin
+
+  private def tTestSql: String =
+    s"""WITH $matchedCtes,
+       |g AS (SELECT m.query_id,
+       |        sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |        sum(CASE WHEN d.lang = 'en' THEN d.n_chars ELSE 0 END)::BIGINT AS sum_a,
+       |        sum(CASE WHEN d.lang = 'en' THEN d.n_chars * d.n_chars ELSE 0 END)::BIGINT AS sq_a,
+       |        sum(CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |        sum(CASE WHEN d.lang <> 'en' THEN d.n_chars ELSE 0 END)::BIGINT AS sum_b,
+       |        sum(CASE WHEN d.lang <> 'en' THEN d.n_chars * d.n_chars ELSE 0 END)::BIGINT AS sq_b
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1)
+       |SELECT query_id, n_a, n_b,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+       |    round((sum_a::DOUBLE / n_a - sum_b::DOUBLE / n_b)
+       |      / sqrt(((sq_a::DOUBLE - sum_a::DOUBLE * sum_a / n_a) / (n_a - 1)) / n_a
+       |           + ((sq_b::DOUBLE - sum_b::DOUBLE * sum_b / n_b) / (n_b - 1)) / n_b) + 1.0e-9, 4) + 0.0
+       |  END AS t_stat
+       |FROM g ORDER BY query_id""".stripMargin
+
+  private def sigTextSql: String =
+    s"""WITH $TOK, $TF,
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON q.term = tf.term),
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |fpd AS (SELECT m.query_id, m.doc_id,
+       |          row_number() OVER (PARTITION BY m.query_id, md5(d.text) ORDER BY m.doc_id ASC) AS rn
+       |        FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |fgd AS (SELECT query_id, doc_id FROM fpd WHERE rn = 1),
+       |fgn AS (SELECT query_id, count(*)::BIGINT AS fg_n FROM fgd GROUP BY 1),
+       |bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dt GROUP BY 1),
+       |bgn AS (SELECT count(DISTINCT doc_id)::BIGINT AS bg_n FROM dt),
+       |fg AS (SELECT f.query_id, dt.term, count(*)::BIGINT AS fg_df FROM fgd f JOIN dt ON f.doc_id = dt.doc_id GROUP BY 1, 2),
+       |j AS (SELECT fg.query_id, fg.term, fg.fg_df, bg.bg_df,
+       |  (fg.fg_df::DOUBLE / fgn.fg_n - bg.bg_df::DOUBLE / bgn.bg_n) * ((fg.fg_df::DOUBLE / fgn.fg_n) / (bg.bg_df::DOUBLE / bgn.bg_n)) AS jlh
+       |  FROM fg JOIN fgn ON fg.query_id = fgn.query_id JOIN bg ON fg.term = bg.term CROSS JOIN bgn),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY jlh DESC, term ASC)::INT AS rank, term, fg_df, bg_df, round(jlh, 4) AS jlh FROM j WHERE jlh > 0)
+       |SELECT query_id, rank, term, fg_df, bg_df, jlh FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- index-served DSL twins: identical oracles to the relational
     // paths — the driver's hash compare IS the index ≡ full-scan proof ----
@@ -2840,6 +2946,12 @@ object SparkEntry {
     "q_pinned_index" -> pinnedSql,
     "q_span_first" -> spanFirstSql,
     "q_span_first_index" -> spanFirstSql, // sidecar head-position path ≡ relational twin
-    "q_auto_date_histogram" -> autoDateHistogramSql
+    "q_auto_date_histogram" -> autoDateHistogramSql,
+    "q_geo_bounds" -> geoBoundsSql,
+    "q_date_range_agg" -> dateRangeSql,
+    "q_percentile_ranks" -> percentileRanksSql,
+    "q_bucket_script" -> bucketScriptSql,
+    "q_ttest" -> tTestSql,
+    "q_sig_text" -> sigTextSql
   )
 }

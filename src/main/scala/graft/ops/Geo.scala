@@ -100,6 +100,17 @@ object Geo {
         (round(col("sum_lat").cast("double") / col("n_events") + lit(1.0e-9), 4) + lit(0.0)).as("centroid_lat"),
         (round(col("sum_lon").cast("double") / col("n_events") + lit(1.0e-9), 4) + lit(0.0)).as("centroid_lon"))
 
+  /** geo_bounds (ES): the smallest lat/lon box containing each
+    * event_type's points — exact integer min/max per axis, one narrow
+    * derivation + one aggregation, result cardinality = event types.
+    */
+  def geoBounds(ev: DataFrame): DataFrame =
+    ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("clat")).as("lat_lo"), max(col("clat")).as("lat_hi"),
+        min(col("clon")).as("lon_lo"), max(col("clon")).as("lon_hi"))
+
   def geotileGrid(ev: DataFrame, zoom: Int = 4, n: Int = 10): DataFrame = {
     val cells = 1L << zoom
     val w = Window.orderBy(col("n_events").desc, col("tile_x").asc, col("tile_y").asc)

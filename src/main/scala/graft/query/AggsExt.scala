@@ -511,6 +511,115 @@ object AggsExt {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** date_range aggregation (ES `date_range`): matched docs bucketed by
+    * half-open [from, to) calendar ranges over the crawl-day derivation —
+    * from inclusive, to exclusive, open ends allowed, and (unlike
+    * `histogram`) ranges MAY overlap, so a doc lands in every range that
+    * contains it: the tiny range table broadcasts, containment is one
+    * narrow filter, then one aggregation. Result cardinality =
+    * queries × ranges.
+    */
+  val DateRanges: Seq[(String, Option[String], Option[String])] = Seq(
+    ("early", None, Some("2025-01-20")),
+    ("mid", Some("2025-01-20"), Some("2025-02-10")),
+    ("late", Some("2025-02-10"), None),
+    ("jan", Some("2025-01-01"), Some("2025-02-01")))
+
+  def dateRangeAgg(docs: DataFrame, queries: Seq[(String, String)],
+      ranges: Seq[(String, Option[String], Option[String])] = DateRanges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = ranges.map { case (k, f, t) => (k, f.orNull, t.orNull) }
+      .toDF("key", "from_day", "to_day")
+    SearchOps.matchedSet(docs, queries)
+      .withColumn("day", SearchOps.crawlDay)
+      .crossJoin(broadcast(r))
+      .filter((col("from_day").isNull || col("day") >= col("from_day")) &&
+        (col("to_day").isNull || col("day") < col("to_day")))
+      .groupBy("query_id", "key")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** percentile_ranks (ES): for each probe value, the percentage of matched
+    * docs whose field value is ≤ the probe — the exact CDF definition (ES
+    * approximates it with a t-digest; the exact rank is this engine's
+    * semantic AND its oracle). One aggregation down to queries rows, then a
+    * constant-width unpivot — probes are literals, never a data shuffle.
+    */
+  def percentileRanks(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars",
+      probes: Seq[Long] = Seq(500L, 1500L, 3000L)): DataFrame = {
+    val aggs = probes.map(v =>
+      sum(when(col(field) <= v, 1L).otherwise(0L)).as(s"le_$v"))
+    val base = SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+    probes.map { v =>
+      base.select(col("query_id"), lit(v).as("value"),
+        (round(col(s"le_$v").cast("double") * 100.0 / col("n_docs")
+          + lit(1.0e-9), 4) + lit(0.0)).as("pct_rank"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** bucket_script + percentiles_bucket (ES pipeline aggs): per
+    * calendar-day bucket, metrics DERIVED from sibling bucket metrics —
+    * `avg_chars` (sum_chars / n_docs, the bucket_script ratio), the
+    * bucket's share of the query's total docs (bucket_script against a
+    * sum_bucket), and the query-level exact-interpolated median of the
+    * per-day doc counts (percentiles_bucket, p50). All windows/aggregates
+    * run over queries × days rows — never over raw docs.
+    */
+  def bucketScript(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val perQ = Window.partitionBy(col("query_id"))
+    val buckets = SearchOps.matchedSet(docs, queries)
+      .withColumn("day", SearchOps.crawlDay)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("query_id", "day")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val med = buckets.groupBy("query_id")
+      .agg(expr("percentile(n_docs, 0.5)").as("med_raw"))
+      .select(col("query_id"),
+        (round(col("med_raw") + lit(1.0e-9), 4) + lit(0.0)).as("p50_docs"))
+    buckets
+      .withColumn("avg_chars",
+        round(col("sum_chars").cast("double") / col("n_docs") + lit(1.0e-9), 4) + lit(0.0))
+      .withColumn("pct_of_total",
+        round(col("n_docs").cast("double") * 100.0 / sum(col("n_docs")).over(perQ)
+          + lit(1.0e-9), 4) + lit(0.0))
+      .join(broadcast(med), Seq("query_id"))
+  }
+
+  /** t_test aggregation (ES, type `heteroscedastic` — Welch's unpaired):
+    * the t statistic of the field between two disjoint populations of each
+    * query's match set (lang = 'en' vs the rest). Exact integer
+    * (n, sum, sum_sq) per side in ONE aggregation pass, sample variance
+    * (n − 1), one double projection — the textbook Welch formula. A side
+    * with < 2 docs yields NULL (ES returns null there too).
+    */
+  def tTest(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame = {
+    val en = col("lang") === "en"
+    val g = SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col("lang"), col(field)), Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(
+        sum(when(en, 1L).otherwise(0L)).as("n_a"),
+        sum(when(en, col(field)).otherwise(0L)).as("sum_a"),
+        sum(when(en, col(field) * col(field)).otherwise(0L)).as("sq_a"),
+        sum(when(!en, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!en, col(field)).otherwise(0L)).as("sum_b"),
+        sum(when(!en, col(field) * col(field)).otherwise(0L)).as("sq_b"))
+    val meanA = col("sum_a").cast("double") / col("n_a")
+    val meanB = col("sum_b").cast("double") / col("n_b")
+    val varA = (col("sq_a").cast("double") - col("sum_a").cast("double") * col("sum_a") / col("n_a")) / (col("n_a") - 1)
+    val varB = (col("sq_b").cast("double") - col("sum_b").cast("double") * col("sum_b") / col("n_b")) / (col("n_b") - 1)
+    val t = (meanA - meanB) / sqrt(varA / col("n_a") + varB / col("n_b"))
+    g.select(col("query_id"), col("n_a"), col("n_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2,
+        round(t + lit(1.0e-9), 4) + lit(0.0)).as("t_stat"))
+  }
+
   /** terms_set query (ES): docs containing at least `minMatch` distinct
     * terms of the query's term set — the relational twin of the index-served
     * variant (the index side filters [[IndexSearch.scoredMatches]] on its

@@ -749,6 +749,35 @@ object SearchOps {
         round(col("jlh"), 4).as("jlh"))
   }
 
+  /** significant_text (ES, with `filter_duplicate_text: true`): JLH-ranked
+    * distinctive terms of each query's match set, with exact-duplicate text
+    * removed from the FOREGROUND first — one representative per
+    * (query, md5(text)), lowest doc_id wins — the superspreader-immunity
+    * behavior ES documents for this agg (a boilerplate page mirrored 1000×
+    * must count once, or it dominates every JLH score). Background
+    * statistics stay corpus-wide and duplicate-inclusive, exactly like
+    * [[significantTerms]]; both twins share [[rankSignificant]] so the
+    * doubles match bit-for-bit. Dedup is one window over the match set
+    * (queries × matched docs, never the corpus).
+    */
+  def significantText(docs: DataFrame, queries: Seq[(String, String)],
+      n: Int = 5): DataFrame = {
+    val docTerm = graft.ops.TextOps.tokens(docs).select("doc_id", "term").distinct()
+    val m = Bm25Sql.scoredDocs(docs, queries).select("query_id", "doc_id").distinct()
+    val wDup = Window.partitionBy(col("query_id"), col("fp")).orderBy(col("doc_id").asc)
+    val fgDocs = m
+      .join(docs.select(col("doc_id"), md5(col("text")).as("fp")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") === 1)
+      .select("query_id", "doc_id")
+    val fgN = fgDocs.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
+    val bg = docTerm.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val bgN = docTerm.select("doc_id").distinct().count()
+    val fg = fgDocs.join(docTerm, Seq("doc_id"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("fg_df"))
+    rankSignificant(fg, fgN, bg, bgN, n)
+  }
+
   /** Field collapsing (ES `collapse`): the best-scoring doc per (query,
     * field value), then the global top-k of those representatives.
     */

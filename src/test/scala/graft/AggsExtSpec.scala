@@ -281,4 +281,94 @@ class AggsExtSpec extends SparkSpecBase {
       assert(x >= 0 && x < 16 && y >= 0 && y < 16)
     }
   }
+
+  test("geo_bounds: lo ≤ hi inside the domain, counts total the corpus") {
+    val b = rows(Geo.geoBounds(ev))
+    assert(b.map(_(1).asInstanceOf[Long]).sum == ev.count())
+    b.foreach { r =>
+      val Seq(latLo, latHi, lonLo, lonHi) = r.slice(2, 6).map(_.asInstanceOf[Long])
+      assert(latLo <= latHi && lonLo <= lonHi)
+      assert(latLo >= -9000 && latHi <= 9000 && lonLo >= -18000 && lonHi <= 18000)
+    }
+  }
+
+  /** Independent (query_id → matched-doc count) recomputation, bypassing
+    * SearchOps entirely: tokens × query terms, distinct docs.
+    */
+  private def matchedCounts: Map[String, Long] = {
+    import spark.implicits._
+    val q = RefQueries.set.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(q, Seq("term")).select("query_id", "doc_id").distinct()
+      .groupBy("query_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("date_range: the early/mid/late partition totals the match set; jan ⊆ early+mid") {
+    val m = matchedCounts
+    val byQ = rows(AggsExt.dateRangeAgg(docs, RefQueries.set)).groupBy(_(0).asInstanceOf[String])
+    byQ.foreach { case (qid, g) =>
+      val n = g.map(r => r(1).asInstanceOf[String] -> r(2).asInstanceOf[Long]).toMap
+      assert(n.getOrElse("early", 0L) + n.getOrElse("mid", 0L) + n.getOrElse("late", 0L) == m(qid))
+      assert(n.getOrElse("jan", 0L) <= n.getOrElse("early", 0L) + n.getOrElse("mid", 0L))
+    }
+  }
+
+  test("percentile_ranks: within [0,100] and monotone in the probe value") {
+    val byQ = rows(AggsExt.percentileRanks(docs, RefQueries.set)).groupBy(_(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { g =>
+      val ranked = g.sortBy(_(1).asInstanceOf[Long]).map(_(2).asInstanceOf[Double])
+      assert(ranked.forall(p => p >= 0.0 && p <= 100.0))
+      assert(ranked == ranked.sorted)
+    }
+  }
+
+  test("bucket_script: avg within field bounds, shares total 100%, p50 constant per query") {
+    val bounds = docs.agg(
+      org.apache.spark.sql.functions.min("n_chars"),
+      org.apache.spark.sql.functions.max("n_chars")).head
+    val byQ = rows(AggsExt.bucketScript(docs, RefQueries.set)).groupBy(_(0))
+    byQ.values.foreach { g =>
+      g.foreach { r =>
+        val avg = r(4).asInstanceOf[Double]
+        assert(avg >= bounds.getLong(0) && avg <= bounds.getLong(1))
+      }
+      assert(math.abs(g.map(_(5).asInstanceOf[Double]).sum - 100.0) < 0.01)
+      assert(g.map(_(6)).distinct.size == 1) // percentiles_bucket: one p50 per query
+    }
+  }
+
+  test("t_test: defined exactly when both sides have ≥ 2 docs; sides total the match set") {
+    val m = matchedCounts
+    rows(AggsExt.tTest(docs, RefQueries.set)).foreach { r =>
+      val (qid, nA, nB) = (r(0).asInstanceOf[String], r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(nA + nB == m(qid))
+      if (nA >= 2 && nB >= 2) assert(r(3) != null) else assert(r(3) == null)
+    }
+  }
+
+  test("significant_text: ≡ significant_terms on a dup-free corpus; dedup caps a mirrored page") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.length
+    // the harness corpus has no byte-identical texts → the twins must agree exactly
+    val st = rows(graft.query.SearchOps.significantText(docs, RefQueries.set)
+      .orderBy("query_id", "rank"))
+    val sterms = rows(graft.query.SearchOps.significantTerms(docs, RefQueries.set)
+      .orderBy("query_id", "rank"))
+    assert(st == sterms)
+    // mirror one matching page 50×: sig_text's fg counts must NOT inflate
+    val base = Seq((1L, "spark query engine", "en", "s1"), (2L, "spark shuffle notes", "en", "s1"),
+      (3L, "plain control text", "en", "s2"), (4L, "query planner guide", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val mirrored = base.union(
+      spark.range(100, 150).selectExpr("id AS doc_id", "'spark query engine' AS text",
+        "'en' AS lang", "'s1' AS source"))
+    val fgOnce = graft.query.SearchOps.significantText(
+      mirrored.withColumn("n_chars", length($"text")), Seq("p1" -> "spark"))
+      .filter($"term" === "engine").collect()
+    assert(fgOnce.forall(_.getAs[Long]("fg_df") == 1L)) // 51 copies count once
+  }
 }
