@@ -793,7 +793,22 @@ object SparkEntry {
       AggsExt.tTest(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
     "q_sig_text" -> ((s, d) =>
       SearchOps.significantText(TextOps.documents(s, d), RefQueries.set)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+    // ---- span_or / span_not: relational + positional-sidecar twins ----
+    "q_span_or" -> ((s, d) =>
+      SearchOps.spanOrCounts(TextOps.documents(s, d)).orderBy("clause_id", "doc_id")),
+    "q_span_or_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.spanOrMatch(s, pos, SearchOps.SpanOrClauses)
+        .orderBy("clause_id", "doc_id")
+    }),
+    "q_span_not" -> ((s, d) =>
+      SearchOps.spanNotCounts(TextOps.documents(s, d)).orderBy("probe_id", "doc_id")),
+    "q_span_not_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.spanNotMatch(s, pos, SearchOps.SpanNotProbes)
+        .orderBy("probe_id", "doc_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -2233,6 +2248,39 @@ object SparkEntry {
        |r AS (SELECT row_number() OVER (ORDER BY n_events DESC, tile_x ASC, tile_y ASC)::INT AS rank, tile_x, tile_y, n_events FROM g)
        |SELECT rank, tile_x, tile_y, n_events FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** span_or oracle, shared by the relational and sidecar twins. */
+  private def spanOrSql: String = {
+    val ctes = graft.query.SearchOps.SpanOrClauses.map { case (cid, terms) =>
+      val in = terms.map(t => s"'$t'").mkString(", ")
+      s"""p_$cid AS (SELECT '$cid' AS clause_id, doc_id, count(*)::BIGINT AS n_matches
+         |  FROM arridx WHERE toks[i] IN ($in) GROUP BY 2)""".stripMargin
+    }
+    val union = graft.query.SearchOps.SpanOrClauses
+      .map { case (cid, _) => s"SELECT * FROM p_$cid" }.mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM arrs WHERE len(toks) >= 1),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY clause_id, doc_id""".stripMargin
+  }
+
+  /** span_not oracle (pre/post exclusion window), shared by the twins. */
+  private def spanNotSql: String = {
+    val ctes = graft.query.SearchOps.SpanNotProbes.map { case (pid, inc, exc, pre, post) =>
+      s"""p_$pid AS (SELECT '$pid' AS probe_id, a.doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, i FROM arridx WHERE toks[i] = '$inc') a
+         |  WHERE NOT EXISTS (SELECT 1 FROM arridx e
+         |    WHERE e.doc_id = a.doc_id AND e.toks[e.i] = '$exc'
+         |      AND e.i >= a.i - $pre AND e.i <= a.i + $post)
+         |  GROUP BY 2)""".stripMargin
+    }
+    val union = graft.query.SearchOps.SpanNotProbes
+      .map { case (pid, _, _, _, _) => s"SELECT * FROM p_$pid" }.mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM arrs WHERE len(toks) >= 1),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY probe_id, doc_id""".stripMargin
+  }
+
   private def geoBoundsSql: String =
     s"""WITH ev AS (SELECT event_type, ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events)
        |SELECT event_type, count(*)::BIGINT AS n_events,
@@ -2948,6 +2996,10 @@ object SparkEntry {
     "q_span_first_index" -> spanFirstSql, // sidecar head-position path ≡ relational twin
     "q_auto_date_histogram" -> autoDateHistogramSql,
     "q_geo_bounds" -> geoBoundsSql,
+    "q_span_or" -> spanOrSql,
+    "q_span_or_index" -> spanOrSql, // sidecar length-sum path ≡ relational twin
+    "q_span_not" -> spanNotSql,
+    "q_span_not_index" -> spanNotSql, // sidecar window-exclusion path ≡ relational twin
     "q_date_range_agg" -> dateRangeSql,
     "q_percentile_ranks" -> percentileRanksSql,
     "q_bucket_script" -> bucketScriptSql,

@@ -396,4 +396,87 @@ object Positions {
       }
       .toDF("pair_id", "doc_id", "n_matches")
   }
+
+  /** span_or (ES) served from the positional sidecar: the stored
+    * position-list LENGTH of each clause term is its match count, so the
+    * plan is a term-pruned scan + broadcast (clause, term) join + one
+    * aggregation — no position decode beyond `size`, no corpus scan.
+    * Clause terms are distinct strings, so per-term position sets are
+    * disjoint and the sum equals the union count.
+    */
+  def spanOrMatch(spark: SparkSession, indexDir: String,
+      clauses: Seq[(String, Seq[String])],
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val allTerms = clauses.flatMap(_._2).distinct
+    val pairs = clauses.flatMap { case (cid, ts) => ts.map(t => (cid, t)) }
+      .toDF("clause_id", "term")
+    val tombB = spark.sparkContext.broadcast(tombstones)
+    val alive = udf((docId: Long) => !tombB.value.contains(docId))
+    spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(allTerms: _*))
+      .filter(alive(col("docId")))
+      .join(broadcast(pairs), Seq("term"))
+      .groupBy(col("clause_id"), col("docId").as("doc_id"))
+      .agg(sum(size(col("positions")).cast("long")).as("n_matches"))
+      .select("clause_id", "doc_id", "n_matches")
+  }
+
+  /** span_not (ES, pre/post window) served from the positional sidecar:
+    * bucket-local cogroup of the include and exclude terms' position
+    * lists (same shape as [[spanNearMatch]]); each include position costs
+    * two binary searches on the exclude list — it survives iff the
+    * half-open window [i − pre, i + post + 1) is empty. Windows are
+    * relative, so the sidecar's 0-based positions need no rebase.
+    */
+  def spanNotMatch(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String, String, Int, Int)],
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val allTerms = probes.flatMap { case (_, inc, exc, _, _) => Seq(inc, exc) }.distinct
+    val probesB = spark.sparkContext.broadcast(probes)
+    val tombB = spark.sparkContext.broadcast(tombstones)
+
+    val rows = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("docId"), col("positions"))
+      .as[(Int, String, Long, Array[Int])]
+
+    def lowerBound(arr: Array[Int], v: Int): Int = {
+      val i = java.util.Arrays.binarySearch(arr, v)
+      if (i >= 0) i else -i - 1
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val pos = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Array[Int]]]
+        it.foreach { case (_, term, docId, ps) =>
+          pos.getOrElseUpdate(term, scala.collection.mutable.HashMap.empty).put(docId, ps)
+        }
+        val tomb = tombB.value
+        probesB.value.iterator.flatMap { case (pid, inc, exc, pre, post) =>
+          pos.get(inc) match {
+            case Some(mi) =>
+              val me = pos.getOrElse(exc, scala.collection.mutable.HashMap.empty[Long, Array[Int]])
+              mi.iterator.filter(e => !tomb.contains(e._1)).flatMap { case (docId, pi) =>
+                val cnt = me.get(docId) match {
+                  case Some(pe) =>
+                    var c = 0L
+                    var x = 0
+                    while (x < pi.length) {
+                      val i = pi(x)
+                      if (lowerBound(pe, i + post + 1) - lowerBound(pe, i - pre) == 0) c += 1
+                      x += 1
+                    }
+                    c
+                  case None => pi.length.toLong
+                }
+                if (cnt > 0) Iterator.single((pid, docId, cnt)) else Iterator.empty
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("probe_id", "doc_id", "n_matches")
+  }
 }

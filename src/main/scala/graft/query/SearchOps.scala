@@ -958,6 +958,77 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** span_or clauses (ES `span_or`): positions of ANY clause term count.
+    * o3 is the all-absent probe, o4 the single-term degeneracy (≡ the
+    * term's tf).
+    */
+  val SpanOrClauses: Seq[(String, Seq[String])] = Seq(
+    ("o1", Seq("hash", "join", "merge")),
+    ("o2", Seq("spark", "query")),
+    ("o3", Seq("missingzzz", "alsogonezzz")),
+    ("o4", Seq("the")))
+
+  /** span_or, relational twin: per (clause, doc), the number of token
+    * positions holding ANY clause term — terms are distinct strings so the
+    * union of their position sets is disjoint and the count is exact. One
+    * narrow filter-fold per clause over the doc's own token array, like
+    * [[spanNearCounts]]. Index twin: `Positions.spanOrMatch` (sums stored
+    * position-list lengths — never decodes the corpus).
+    */
+  def spanOrCounts(docs: DataFrame,
+      clauses: Seq[(String, Seq[String])] = SpanOrClauses): DataFrame = {
+    val toks = col("toks")
+    val per = clauses.map { case (cid, terms) =>
+      val cnt = size(filter(toks, t => terms.map(t === _).reduce(_ || _))).cast("long")
+      struct(lit(cid).as("clause_id"), cnt.as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(per: _*)).as("m"))
+      .select(col("m.clause_id").as("clause_id"), col("doc_id"),
+        col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** span_not probes (ES `span_not` with pre/post): (probe, include,
+    * exclude, pre, post) — count positions i of `include` with NO
+    * `exclude` occurrence in [i − pre, i + post]. n3's exclude is absent
+    * (≡ plain tf), n1 is the adjacent-pair suppressor.
+    */
+  val SpanNotProbes: Seq[(String, String, String, Int, Int)] = Seq(
+    ("n1", "hash", "join", 1, 1),
+    ("n2", "the", "query", 0, 2),
+    ("n3", "spark", "missingzzz", 2, 2),
+    ("n4", "table", "scan", 1, 3))
+
+  /** span_not, relational twin: positions of `include` surviving the
+    * exclusion window — a nested filter-fold over the doc's own token
+    * array (narrow, one map over the corpus scan). Index twin:
+    * `Positions.spanNotMatch` (two binary-search bounds per include
+    * position on the exclude term's sorted position list).
+    */
+  def spanNotCounts(docs: DataFrame,
+      probes: Seq[(String, String, String, Int, Int)] = SpanNotProbes): DataFrame = {
+    val toks = col("toks")
+    val per = probes.map { case (pid, inc, exc, pre, post) =>
+      val pi = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === inc)
+      val pe = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === exc)
+      val cnt = size(filter(pi, i =>
+        size(filter(pe, j => j >= i - pre && j <= i + post)) === 0)).cast("long")
+      // guard BEFORE sequence(): an empty doc would build a descending range
+      struct(lit(pid).as("probe_id"),
+        when(size(toks) > 0, cnt).otherwise(lit(0L)).as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(per: _*)).as("m"))
+      .select(col("m.probe_id").as("probe_id"), col("doc_id"),
+        col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** span_first probes (ES `span_first`): (probe, term, end) — the term
     * must occur within the first `end` token positions (1-based).
     */

@@ -252,6 +252,16 @@ object PlanCheck {
         .queryExecution.explainString(fmt),
       wants = Seq("PushedFilters: [In(term"),
       rejects = Seq("documents.parquet", "Exchange hashpartitioning"))
+    check("span_or via sidecar position-list lengths (term-pruned, broadcast clauses, no corpus)",
+      graft.index.Positions.spanOrMatch(spark, posDir, graft.query.SearchOps.SpanOrClauses)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term", "BroadcastHashJoin"),
+      rejects = Seq("documents.parquet", "SortMergeJoin", "CartesianProduct"))
+    check("span_not via sidecar exclusion windows (term-pruned, no corpus)",
+      graft.index.Positions.spanNotMatch(spark, posDir, graft.query.SearchOps.SpanNotProbes)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
 
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)

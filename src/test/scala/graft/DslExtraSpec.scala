@@ -246,6 +246,47 @@ class DslExtraSpec extends SparkSpecBase {
     }
   }
 
+  test("span_or: sidecar twin == relational; single-term clause ≡ tf; absent clause empty") {
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val rel = rows(SearchOps.spanOrCounts(docs).orderBy("clause_id", "doc_id"))
+    val srv = rows(graft.index.Positions.spanOrMatch(spark, pos, SearchOps.SpanOrClauses)
+      .orderBy("clause_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    assert(!rel.exists(_.head == "o3")) // both terms absent from the corpus
+    // o4 = single term 'the' → per-doc count equals the term's tf
+    val tf = TextOps.termFreqs(docs).filter(org.apache.spark.sql.functions.col("term") === "the")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rel.filter(_.head == "o4").foreach { r =>
+      assert(r(2).asInstanceOf[Long] == tf(r(1).asInstanceOf[Long]))
+    }
+    // each clause count ≥ any member term's tf-driven floor: union ⊇ single term
+    val o2 = rel.filter(_.head == "o2").map(r => r(1) -> r(2).asInstanceOf[Long]).toMap
+    val spark_tf = TextOps.termFreqs(docs)
+      .filter(org.apache.spark.sql.functions.col("term") === "spark")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    spark_tf.foreach { case (d, n) => assert(o2(d) >= n) }
+  }
+
+  test("span_not: sidecar twin == relational; absent exclude ≡ tf; window monotone") {
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val rel = rows(SearchOps.spanNotCounts(docs).orderBy("probe_id", "doc_id"))
+    val srv = rows(graft.index.Positions.spanNotMatch(spark, pos, SearchOps.SpanNotProbes)
+      .orderBy("probe_id", "doc_id"))
+    assert(rel.nonEmpty && rel == srv)
+    // n3's exclude never occurs → counts equal the include term's tf
+    val tf = TextOps.termFreqs(docs).filter(org.apache.spark.sql.functions.col("term") === "spark")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val n3 = rel.filter(_.head == "n3").map(r => r(1).asInstanceOf[Long] -> r(2).asInstanceOf[Long]).toMap
+    assert(n3 == tf)
+    // widening the exclusion window can only reduce surviving matches
+    val narrow = rows(SearchOps.spanNotCounts(docs, Seq(("w", "hash", "join", 0, 0))))
+      .map(r => r(1).asInstanceOf[Long] -> r(2).asInstanceOf[Long]).toMap
+    val wide = rows(SearchOps.spanNotCounts(docs, Seq(("w", "hash", "join", 2, 2))))
+      .map(r => r(1).asInstanceOf[Long] -> r(2).asInstanceOf[Long]).toMap
+    wide.foreach { case (d, n) => assert(narrow.getOrElse(d, 0L) >= n) }
+    narrow.foreach { case (d, n) => assert(n >= wide.getOrElse(d, 0L)) }
+  }
+
   test("completion suggester: pruned dictionary twin == relational; weight ranking") {
     val rel = rows(SearchOps.completionSuggest(docs).orderBy("prefix_id", "rank"))
     val srv = rows(IndexSearch.completionSuggest(spark, idx, SearchOps.Prefixes)
