@@ -808,6 +808,22 @@ object SparkEntry {
       val pos = IndexCache.positionsForDocuments(s, d)
       graft.index.Positions.spanNotMatch(s, pos, SearchOps.SpanNotProbes)
         .orderBy("probe_id", "doc_id")
+    }),
+    // ---- exists / match_bool_prefix / simple_query_string ----
+    "q_exists" -> ((s, d) => Relational.existsQuery(s, d).orderBy("event_type")),
+    "q_match_bool_prefix" -> ((s, d) =>
+      SearchOps.matchBoolPrefix(TextOps.documents(s, d)).orderBy("probe_id", "doc_id")),
+    "q_match_bool_prefix_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.matchBoolPrefix(s, idx, SearchOps.PhrasePrefixes)
+        .orderBy("probe_id", "doc_id")
+    }),
+    "q_simple_query_string" -> ((s, d) =>
+      graft.query.QueryString.simpleCount(TextOps.documents(s, d)).orderBy("query_id")),
+    "q_simple_query_string_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.query.QueryString.simpleCountIndex(s, idx, pos).orderBy("query_id")
     })
   )
 
@@ -2281,6 +2297,82 @@ object SparkEntry {
        |$union ORDER BY probe_id, doc_id""".stripMargin
   }
 
+  private def existsSql: String =
+    s"""WITH e AS (SELECT event_type, json_extract_string(props, '$$.k')::INT % 10 <> 0 AS has_k FROM events)
+       |SELECT event_type, sum(CASE WHEN has_k THEN 1 ELSE 0 END)::BIGINT AS n_exists,
+       |       sum(CASE WHEN NOT has_k THEN 1 ELSE 0 END)::BIGINT AS n_missing
+       |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** match_bool_prefix oracle, shared by the relational and postings-served
+    * twins: distinct-clause counts over the (doc, term) distinct.
+    */
+  private def matchBoolPrefixSql: String = {
+    val vals = graft.query.SearchOps.PhrasePrefixes.flatMap { case (pid, text) =>
+      val toks = graft.textprep.TextPrep.tokenize(text)
+      if (toks.isEmpty) Seq.empty
+      else toks.init.distinct.map(t => s"('$pid','term','$t')") :+ s"('$pid','prefix','${toks.last}')"
+    }.mkString(", ")
+    s"""WITH $TOK,
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |c(probe_id, kind, v) AS (VALUES $vals)
+       |SELECT c.probe_id, dt.doc_id, count(DISTINCT c.kind || ':' || c.v)::BIGINT AS n_clauses
+       |FROM dt JOIN c ON (c.kind = 'term' AND dt.term = c.v) OR (c.kind = 'prefix' AND dt.term LIKE c.v || '%')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** simple_query_string oracle, shared by both twins — all-integer, the
+    * same clause rows and Lucene bool verdict `QueryString.simpleClauses`/
+    * `simpleTail` pin, prefix expansion done by LIKE against the same
+    * vocabulary.
+    */
+  private def simpleQueryStringSql: String = {
+    import graft.query.QueryString
+    val qs = QueryString.SimpleQueryStrings
+    val (cs, phs) = QueryString.simpleClauses(qs)
+    val cVals = cs.map { case (qid, cid, grp, kind, v) =>
+      s"('$qid','$cid','$grp','$kind','$v')"
+    }.mkString(", ")
+    val phCtes = phs.map { case (qid, cid, grp, text) =>
+      val ws = graft.textprep.TextPrep.tokenize(text)
+      val n = ws.length
+      val conds = ws.zipWithIndex.map { case (w, j) =>
+        if (j == 0) s"toks[i] = '$w'" else s"toks[i+$j] = '$w'"
+      }.mkString(" AND ")
+      s"""ph_$cid AS (SELECT '$qid' AS query_id, '$cid' AS clause_id, '$grp' AS grp, doc_id
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM arrs WHERE len(toks) >= $n)
+         |  WHERE $conds GROUP BY 1, 2, 3, 4)""".stripMargin
+    }
+    val mUnion = (Seq("SELECT * FROM tm") ++ phs.map { case (_, cid, _, _) => s"SELECT * FROM ph_$cid" })
+      .mkString(" UNION ALL ")
+    val qmVals = qs.map { case (qid, _) =>
+      val nMust = cs.count(c => c._1 == qid && c._3 == "must") +
+        phs.count(p => p._1 == qid && p._3 == "must")
+      s"('$qid',${nMust}::BIGINT)"
+    }.mkString(", ")
+    s"""WITH $TOK,
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |c(query_id, clause_id, grp, kind, v) AS (VALUES $cVals),
+       |tm AS (SELECT c.query_id, c.clause_id, c.grp, dt.doc_id
+       |       FROM dt JOIN c ON (c.kind = 'term' AND dt.term = c.v) OR (c.kind = 'prefix' AND dt.term LIKE c.v || '%')
+       |       GROUP BY 1, 2, 3, 4),
+       |${phCtes.mkString(",\n")}${if (phCtes.nonEmpty) "," else ""}
+       |m AS ($mUnion),
+       |md AS (SELECT query_id, doc_id,
+       |         count(DISTINCT CASE WHEN grp = 'must' THEN clause_id END)::BIGINT AS n_must_hit,
+       |         max(CASE WHEN grp = 'or' THEN 1 ELSE 0 END) AS or_hit,
+       |         max(CASE WHEN grp = 'not' THEN 1 ELSE 0 END) AS not_hit
+       |       FROM m GROUP BY 1, 2),
+       |qm(query_id, n_must) AS (VALUES $qmVals),
+       |h AS (SELECT md.query_id, count(*)::BIGINT AS n_hits
+       |      FROM md JOIN qm ON md.query_id = qm.query_id
+       |      WHERE md.not_hit = 0
+       |        AND (CASE WHEN qm.n_must > 0 THEN md.n_must_hit = qm.n_must ELSE md.or_hit = 1 END)
+       |      GROUP BY 1)
+       |SELECT qm.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+       |FROM qm LEFT JOIN h ON qm.query_id = h.query_id ORDER BY 1""".stripMargin
+  }
+
   private def geoBoundsSql: String =
     s"""WITH ev AS (SELECT event_type, ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events)
        |SELECT event_type, count(*)::BIGINT AS n_events,
@@ -3004,6 +3096,11 @@ object SparkEntry {
     "q_percentile_ranks" -> percentileRanksSql,
     "q_bucket_script" -> bucketScriptSql,
     "q_ttest" -> tTestSql,
-    "q_sig_text" -> sigTextSql
+    "q_sig_text" -> sigTextSql,
+    "q_exists" -> existsSql,
+    "q_match_bool_prefix" -> matchBoolPrefixSql,
+    "q_match_bool_prefix_index" -> matchBoolPrefixSql, // postings-decode path ≡ relational twin
+    "q_simple_query_string" -> simpleQueryStringSql,
+    "q_simple_query_string_index" -> simpleQueryStringSql // postings+sidecar path ≡ relational twin
   )
 }

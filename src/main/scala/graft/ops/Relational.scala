@@ -226,6 +226,21 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** ES `exists` query over the optional-member document model this corpus
+    * pins in [[mergePatch]] (member `k` is absent whenever k % 10 == 0,
+    * RFC-7386 removal-as-null): docs whose field IS present vs the missing
+    * complement, counted per event_type — field presence, not value truth,
+    * which is exactly ES's `exists` contract. Narrow derivation + one
+    * aggregation.
+    */
+  def existsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("k_raw", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("has_k", pmod(col("k_raw"), lit(10)) =!= 0)
+      .groupBy("event_type")
+      .agg(sum(when(col("has_k"), 1L).otherwise(0L)).as("n_exists"),
+        sum(when(!col("has_k"), 1L).otherwise(0L)).as("n_missing"))
+
   /** `mapIndex`-style namespace→index routing (`monstache.go:802-813`):
     * per-namespace output remapping with a passthrough default.
     */

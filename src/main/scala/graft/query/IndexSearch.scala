@@ -377,6 +377,44 @@ object IndexSearch {
         count_distinct(col("doc_id")).as("n_docs"))
   }
 
+  /** match_bool_prefix served from the index: full-term clauses read their
+    * postings via In() pushdown, the prefix clause prunes the term-sorted
+    * scan via StartsWith min/max stats (like [[prefixMatch]]); matched rows
+    * decode docIds only. Per (probe, doc) the DISTINCT-clause count —
+    * expansions of the prefix collapse to ONE clause, the ES contract.
+    */
+  def matchBoolPrefix(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
+    val clauseList: Seq[(String, String, String)] = probes.flatMap { case (pid, text) =>
+      val toks = an.tokenize(text)
+      if (toks.isEmpty) Seq.empty
+      else toks.init.distinct.map(t => (pid, "term", t)) :+ ((pid, "prefix", toks.last))
+    }
+    val full = clauseList.collect { case (_, "term", v) => v }.distinct
+    val prefs = clauseList.collect { case (_, "prefix", v) => v }.distinct
+    val cB = spark.sparkContext.broadcast(clauseList)
+    val pred = (if (full.nonEmpty) Seq(col("term").isin(full: _*)) else Nil) ++
+      prefs.map(p => col("term").startsWith(p))
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(pred.reduce(_ || _))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap { tp =>
+        val hits = cB.value.filter { case (_, kind, v) =>
+          (kind == "term" && tp.term == v) || (kind == "prefix" && tp.term.startsWith(v))
+        }
+        if (hits.isEmpty) Iterator.empty
+        else tp.blocks.iterator.flatMap(b => Blocks.decodeDocIds(b).iterator).flatMap(d =>
+          hits.iterator.map { case (pid, kind, v) => (pid, d, s"$kind:$v") })
+      }
+      .toDF("probe_id", "doc_id", "clause")
+      .groupBy("probe_id", "doc_id")
+      .agg(count_distinct(col("clause")).as("n_clauses"))
+  }
+
   /** Exact BM25 contributions for EVERY matching (query, doc) pair, served
     * from postings — the exhaustive-retrieval half of dis_max / top_hits /
     * percentile aggregations, where the consumer needs all matched docs

@@ -231,4 +231,162 @@ object QueryString {
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("score"))
   }
+
+  // ------------------------------------------------- simple_query_string
+
+  /** simple_query_string fixtures (pinned ES subset: `|` OR separator,
+    * `+`must / `-`not markers, quoted phrase, trailing-`*` prefix expanded
+    * against the vocabulary): OR with a live prefix (p1), must + or-prefix
+    * + negation (p2), phrase-or-term (p3), dead prefix beside a must (p4),
+    * all-dead prefix → zero hits (p5).
+    */
+  val SimpleQueryStrings: Seq[(String, String)] = Seq(
+    "p1" -> "spark | quer*",
+    "p2" -> "+hash merg* -slow",
+    "p3" -> "\"table hash\" | customer",
+    "p4" -> "miss* +the",
+    "p5" -> "zzznope*")
+
+  private val SimplePhraseRe = "([+-]?)\"([^\"]*)\"".r
+
+  /** Parse the simple_query_string subset into flat clause rows:
+    * term/prefix clauses (query, clause, group, kind, value) and phrase
+    * clauses (query, clause, group, analyzed text). Groups follow Lucene's
+    * bool: `+` → must, `-` → not, bare → or; with any must present the
+    * or-group is optional (min_should_match 0), else it must hit. Clause
+    * ids are positional so both twins and the oracle agree.
+    */
+  def simpleClauses(queries: Seq[(String, String)],
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Ascii)
+      : (Seq[(String, String, String, String, String)], Seq[(String, String, String, String)]) = {
+    val cs = Vector.newBuilder[(String, String, String, String, String)]
+    val phs = Vector.newBuilder[(String, String, String, String)]
+    def grpOf(m: String) = m match { case "+" => "must"; case "-" => "not"; case _ => "or" }
+    queries.foreach { case (qid, q) =>
+      var i = 0
+      SimplePhraseRe.findAllMatchIn(q).foreach { mm =>
+        val text = analyzer.tokenize(mm.group(2)).mkString(" ")
+        if (text.nonEmpty) { phs += ((qid, s"${qid}_c$i", grpOf(mm.group(1)), text)); i += 1 }
+      }
+      val rest = SimplePhraseRe.replaceAllIn(q, " ").replace('|', ' ')
+      rest.split("\\s+").filter(_.nonEmpty).foreach { raw =>
+        val (grp, body0) = raw.charAt(0) match {
+          case '+' => ("must", raw.substring(1))
+          case '-' => ("not", raw.substring(1))
+          case _   => ("or", raw)
+        }
+        val isPrefix = body0.endsWith("*")
+        val body = if (isPrefix) body0.dropRight(1) else body0
+        val toks = analyzer.tokenize(body)
+        if (toks.nonEmpty) {
+          val (terms, last) =
+            if (isPrefix) (toks.init.toSeq, Option(toks.last))
+            else (toks.toSeq, Option.empty[String])
+          terms.foreach { t => cs += ((qid, s"${qid}_c$i", grp, "term", t)); i += 1 }
+          last.foreach { p => cs += ((qid, s"${qid}_c$i", grp, "prefix", p)); i += 1 }
+        }
+      }
+    }
+    (cs.result(), phs.result())
+  }
+
+  /** Shared integer tail of both simple_query_string twins: per (query,
+    * doc) distinct-must-clause count + or/not hit flags over the clause
+    * match rows, then the Lucene bool verdict and a per-query hit count
+    * (0-preserving left join — a dead query stays visible). All-integer:
+    * the twins and the oracle are exactly comparable with no FP pinning.
+    */
+  private def simpleTail(spark: SparkSession, queries: Seq[(String, String)],
+      matches: DataFrame,
+      analyzer: TextPrep.Analyzer = TextPrep.Analyzer.Ascii): DataFrame = {
+    import spark.implicits._
+    val (cs, phs) = simpleClauses(queries, analyzer)
+    val meta = queries.map { case (qid, _) =>
+      val nMust = cs.count(c => c._1 == qid && c._3 == "must") +
+        phs.count(p => p._1 == qid && p._3 == "must")
+      (qid, nMust.toLong)
+    }.toDF("query_id", "n_must")
+    val md = matches.groupBy("query_id", "doc_id")
+      .agg(
+        count_distinct(when(col("grp") === "must", col("clause_id"))).as("n_must_hit"),
+        max(when(col("grp") === "or", 1).otherwise(0)).as("or_hit"),
+        max(when(col("grp") === "not", 1).otherwise(0)).as("not_hit"))
+    val hits = md.join(broadcast(meta), Seq("query_id"))
+      .filter(col("not_hit") === 0 &&
+        when(col("n_must") > 0, col("n_must_hit") === col("n_must"))
+          .otherwise(col("or_hit") === 1))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    meta.select("query_id").join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** simple_query_string, relational twin (hit-count semantics — the
+    * grammar + bool verdict + vocabulary prefix expansion IS the operator;
+    * ranked retrieval is [[topK]]'s job). Clause matches: one
+    * distinct-token join against the broadcast clause table (prefix via
+    * StartsWith), phrases via the narrow per-doc fold.
+    */
+  def simpleCount(docs: DataFrame,
+      queries: Seq[(String, String)] = SimpleQueryStrings): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (cs, phs) = simpleClauses(queries)
+    val cdf = cs.toDF("query_id", "clause_id", "grp", "kind", "v")
+    val tm = graft.ops.TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(cdf),
+        (col("kind") === "term" && col("term") === col("v")) ||
+          (col("kind") === "prefix" && col("term").startsWith(col("v"))))
+      .select("query_id", "clause_id", "grp", "doc_id").distinct()
+    val phMeta = phs.map(p => (p._2, p._1, p._3)).toDF("phrase_id", "query_id", "grp")
+    val ph = SearchOps.phraseCounts(docs, phs.map(p => (p._2, p._4)))
+      .select("phrase_id", "doc_id")
+      .join(broadcast(phMeta), Seq("phrase_id"))
+      .select(col("query_id"), col("phrase_id").as("clause_id"), col("grp"), col("doc_id"))
+    simpleTail(spark, queries, tm.unionByName(ph))
+  }
+
+  /** simple_query_string, index-served twin: term clauses via In()
+    * postings pushdown, prefix clauses via StartsWith on the term-sorted
+    * postings scan (docIds-only decode), phrases from the positional
+    * sidecar — the corpus is never scanned. Same integer tail.
+    */
+  def simpleCountIndex(spark: SparkSession, indexDir: String, posDir: String,
+      queries: Seq[(String, String)] = SimpleQueryStrings): DataFrame = {
+    import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
+    val (cs, phs) = simpleClauses(queries, an)
+    val full = cs.collect { case (_, _, _, "term", v) => v }.distinct
+    val prefs = cs.collect { case (_, _, _, "prefix", v) => v }.distinct
+    val csB = spark.sparkContext.broadcast(cs)
+    val pred = (if (full.nonEmpty) Seq(col("term").isin(full: _*)) else Nil) ++
+      prefs.map(p => col("term").startsWith(p))
+    val tm =
+      if (pred.isEmpty) spark.emptyDataset[(String, String, String, Long)]
+        .toDF("query_id", "clause_id", "grp", "doc_id")
+      else spark.read.parquet(s"$indexDir/postings")
+        .filter(pred.reduce(_ || _))
+        .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+          col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+        .as[graft.model.TermPostings]
+        .flatMap { tp =>
+          val hit = csB.value.filter { case (_, _, _, kind, v) =>
+            (kind == "term" && tp.term == v) || (kind == "prefix" && tp.term.startsWith(v))
+          }
+          if (hit.isEmpty) Iterator.empty
+          else tp.blocks.iterator
+            .flatMap(b => graft.codec.Blocks.decodeDocIds(b).iterator)
+            .flatMap(d => hit.iterator.map { case (qid, cid, grp, _, _) => (qid, cid, grp, d) })
+        }
+        .toDF("query_id", "clause_id", "grp", "doc_id").distinct()
+    val phMeta = phs.map(p => (p._2, p._1, p._3)).toDF("phrase_id", "query_id", "grp")
+    val ph =
+      if (phs.isEmpty) spark.emptyDataset[(String, String, String, Long)]
+        .toDF("query_id", "clause_id", "grp", "doc_id")
+      else graft.index.Positions.phraseMatch(spark, posDir,
+          phs.map(p => (p._2, p._4)), analyzer = an)
+        .select("phrase_id", "doc_id")
+        .join(broadcast(phMeta), Seq("phrase_id"))
+        .select(col("query_id"), col("phrase_id").as("clause_id"), col("grp"), col("doc_id"))
+    simpleTail(spark, queries, tm.unionByName(ph), an)
+  }
 }

@@ -958,6 +958,33 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** match_bool_prefix (ES): the probe's terms become OR'd bool clauses —
+    * every token a term clause, the LAST token a prefix clause (one clause
+    * regardless of how many dictionary terms it expands to, per the ES
+    * contract). Per (probe, doc): the number of DISTINCT clauses matched
+    * (n_clauses ≥ 1 ⇒ a hit under the default OR operator). Shares the
+    * [[PhrasePrefixes]] probes: x4's prefix expands to nothing but `table`
+    * still matches — the OR semantics that distinguish this operator from
+    * match_phrase_prefix. One distinct-token join against a broadcast
+    * clause table; index twin: `IndexSearch.matchBoolPrefix`.
+    */
+  def matchBoolPrefix(docs: DataFrame,
+      probes: Seq[(String, String)] = PhrasePrefixes): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val clauses = probes.flatMap { case (pid, text) =>
+      val toks = TextPrep.tokenize(text)
+      if (toks.isEmpty) Seq.empty
+      else toks.init.distinct.map(t => (pid, "term", t)) :+ ((pid, "prefix", toks.last))
+    }.toDF("probe_id", "kind", "v")
+    graft.ops.TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .join(broadcast(clauses),
+        (col("kind") === "term" && col("term") === col("v")) ||
+          (col("kind") === "prefix" && col("term").startsWith(col("v"))))
+      .groupBy("probe_id", "doc_id")
+      .agg(count_distinct(concat_ws(":", col("kind"), col("v"))).as("n_clauses"))
+  }
+
   /** span_or clauses (ES `span_or`): positions of ANY clause term count.
     * o3 is the all-absent probe, o4 the single-term degeneracy (≡ the
     * term's tf).

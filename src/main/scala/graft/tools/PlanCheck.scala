@@ -262,6 +262,16 @@ object PlanCheck {
         .queryExecution.explainString(fmt),
       wants = Seq("PushedFilters: [In(term"),
       rejects = Seq("documents.parquet", "CartesianProduct"))
+    check("match_bool_prefix via postings (Or(In,StartsWith) pushdown, no corpus)",
+      graft.query.IndexSearch.matchBoolPrefix(spark, idx, graft.query.SearchOps.PhrasePrefixes)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [Or("),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    check("simple_query_string via postings + positions sidecar (no corpus scan)",
+      graft.query.QueryString.simpleCountIndex(spark, idx, posDir)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [Or("),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
 
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)

@@ -67,4 +67,45 @@ class QueryStringSpec extends SparkSpecBase {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(byQ("k1").nonEmpty && byQ("k1").forall(h => !slowDocs.contains(h._3)))
   }
+
+  test("simple_query_string: parse groups, prefix marker, | separator") {
+    val (cs, phs) = QueryString.simpleClauses(Seq("z" -> "+Hash merg* | -slow \"table HASH\""))
+    assert(cs.map(c => (c._3, c._4, c._5)).toSet ==
+      Set(("must", "term", "hash"), ("or", "prefix", "merg"), ("not", "term", "slow")))
+    assert(phs.map(p => (p._3, p._4)) == Seq(("or", "table hash")))
+    // clause ids are positional and unique
+    assert((cs.map(_._2) ++ phs.map(_._2)).distinct.size == cs.size + phs.size)
+  }
+
+  test("simple_query_string: index twin == relational; bool verdict semantics") {
+    import org.apache.spark.sql.functions.col
+    val rel = QueryString.simpleCount(docs).orderBy("query_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val srv = QueryString.simpleCountIndex(spark, idx, pos).orderBy("query_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rel.nonEmpty && rel == srv)
+    val m = rel.toMap
+    assert(m("p5") == 0L) // dead prefix expands to nothing
+    // p2 (+hash -slow): equals docs(hash) minus docs(slow) — or-clauses optional
+    val dt = TextOps.tokens(docs).select("doc_id", "term").distinct()
+    val hash = dt.filter(col("term") === "hash").select("doc_id").collect().map(_.getLong(0)).toSet
+    val slow = dt.filter(col("term") === "slow").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(m("p2") == (hash -- slow).size.toLong)
+    // p4 (miss* +the): must dominates — equals docs containing 'the'
+    val the = dt.filter(col("term") === "the").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(m("p4") == the.size.toLong)
+  }
+
+  test("match_bool_prefix: index twin == relational; OR semantics vs phrase_prefix") {
+    import graft.query.{IndexSearch, SearchOps}
+    val rel = SearchOps.matchBoolPrefix(docs).orderBy("probe_id", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    val srv = IndexSearch.matchBoolPrefix(spark, idx, SearchOps.PhrasePrefixes)
+      .orderBy("probe_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(rel.nonEmpty && rel == srv)
+    // x4 ("table zz"): dead prefix but live term — OR still matches;
+    // the PHRASE-prefix operator on the same probe returns nothing
+    assert(rel.exists(_.head == "x4"))
+    assert(SearchOps.phrasePrefixCounts(docs, Seq("x4" -> "table zz")).count() == 0L)
+  }
 }
