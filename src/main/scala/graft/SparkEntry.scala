@@ -362,6 +362,22 @@ object SparkEntry {
       IndexSearch.collapseTopK(s, idx, RefQueries.set, TextOps.documents(s, d), "source")
         .orderBy("query_id", "rank")
     }),
+    // ---- hybrid retrieval (ES 8 retriever: rrf) + ranking evaluation ----
+    "q_rrf_hybrid" -> ((s, d) =>
+      SearchOps.rrfHybrid(TextOps.documents(s, d), Similarity.embeddings(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_rrf_hybrid_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.rrfHybrid(s, idx, Similarity.embeddings(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")
+    }),
+    "q_rank_eval" -> ((s, d) =>
+      SearchOps.rankEval(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id")),
+    "q_rank_eval_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.rankEval(s, idx, RefQueries.set).orderBy("query_id")
+    }),
     "q_nested_agg" -> ((s, d) =>
       SearchOps.nestedAgg(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "lang")),
@@ -1328,6 +1344,68 @@ object SparkEntry {
        |g AS (SELECT *, row_number() OVER (PARTITION BY query_id, source ORDER BY score DESC, doc_id ASC) AS grank FROM j),
        |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, source, round(score, 4) AS score FROM g WHERE grank = 1)
        |SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** RRF hybrid retrieval: BM25 top-10 ranks fused with exact cosine top-10
+    * ranks of the per-query request vector (query i ↦ embedding vec_id i) by
+    * score = Σ 1/(60 + rank); lexical contribution added first, like the
+    * Spark side. Ordered element sums keep the cosine bit-identical.
+    */
+  private def rrfSql: String = {
+    val qv = RefQueries.set.zipWithIndex
+      .map { case ((qid, _), i) => s"('$qid',$i)" }.mkString(", ")
+    s"""WITH $scoredCtes,
+       |tr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS text_rank FROM scored),
+       |ttop AS (SELECT * FROM tr WHERE text_rank <= 10),
+       |qv(query_id, qvec_id) AS (VALUES $qv),
+       |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |pairs AS (
+       |  SELECT qv.query_id, ev.vec_id AS doc_id,
+       |    sum((ev.embedding[ev.i]::DOUBLE) * (qe.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS dp,
+       |    sum((ev.embedding[ev.i]::DOUBLE) * (ev.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS na,
+       |    sum((qe.embedding[ev.i]::DOUBLE) * (qe.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS nq2
+       |  FROM ev CROSS JOIN qv JOIN embeddings qe ON qe.vec_id = qv.qvec_id
+       |  GROUP BY 1, 2),
+       |vtop AS (SELECT query_id, doc_id, knn_rank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq2)) DESC, doc_id ASC)::INT AS knn_rank FROM pairs) vr
+       |  WHERE knn_rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(t.query_id, v.query_id) AS query_id, coalesce(t.doc_id, v.doc_id) AS doc_id,
+       |    coalesce(1.0 / (60 + t.text_rank), 0.0) + coalesce(1.0 / (60 + v.knn_rank), 0.0) AS rrf,
+       |    coalesce(t.text_rank, 0) AS text_rank, coalesce(v.knn_rank, 0) AS knn_rank
+       |  FROM ttop t FULL OUTER JOIN vtop v ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC)::INT AS rank, doc_id, round(rrf + 1.0e-9, 6) AS rrf, text_rank, knn_rank FROM fused)
+       |SELECT query_id, rank, doc_id, rrf, text_rank, knn_rank FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** `_rank_eval`: precision/recall@10, MRR, binary-gain NDCG@10 of the
+    * BM25 top-10 against the conjunctive (all-terms) judgment set. DCG and
+    * IDCG sum in ascending rank/position order; gains written
+    * ln(r+1)/ln(2.0) exactly as the Spark side evaluates them.
+    */
+  private def rankEvalSql: String =
+    s"""WITH $scoredCtes,
+       |ranked AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank FROM scored),
+       |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+       |rel AS (SELECT s.query_id, s.doc_id FROM scored s JOIN qn ON s.query_id = qn.query_id WHERE s.matched = qn.nq),
+       |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+       |hits AS (SELECT t.query_id, t.rank FROM topk t JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+       |hagg AS (SELECT query_id, count(*)::BIGINT AS n_hits, min(rank) AS min_rank,
+       |  sum(1.0 / (ln(rank + 1.0) / ln(2.0)) ORDER BY rank) AS dcg FROM hits GROUP BY 1),
+       |gains AS (SELECT unnest(generate_series(1, 10)) AS j),
+       |idcg_t AS (SELECT m, sum(1.0 / (ln(j + 1.0) / ln(2.0)) ORDER BY j) AS idcg
+       |  FROM (SELECT unnest(generate_series(1, 10)) AS m) sizes JOIN gains ON gains.j <= m GROUP BY m),
+       |base AS (SELECT q.query_id, coalesce(n.n_rel, 0) AS n_rel, coalesce(h.n_hits, 0) AS n_hits,
+       |    coalesce(h.min_rank, 0) AS min_rank, coalesce(h.dcg, 0.0) AS dcg
+       |  FROM (SELECT DISTINCT query_id FROM q) q
+       |  LEFT JOIN nrel n ON q.query_id = n.query_id
+       |  LEFT JOIN hagg h ON q.query_id = h.query_id)
+       |SELECT b.query_id, b.n_rel, b.n_hits,
+       |  round(b.n_hits / 10.0 + 1.0e-9, 4) AS prec,
+       |  round(CASE WHEN b.n_rel = 0 THEN 0.0 ELSE b.n_hits::DOUBLE / b.n_rel::DOUBLE END + 1.0e-9, 4) AS recall,
+       |  round(CASE WHEN b.min_rank = 0 THEN 0.0 ELSE 1.0 / b.min_rank END + 1.0e-9, 4) AS mrr,
+       |  round(CASE WHEN coalesce(i.idcg, 0.0) > 0 AND b.n_rel > 0 THEN b.dcg / i.idcg ELSE 0.0 END + 1.0e-9, 4) AS ndcg
+       |FROM base b LEFT JOIN idcg_t i ON i.m = least(b.n_rel, 10)
+       |ORDER BY query_id""".stripMargin
 
   /** Nested aggregation (terms bucket + stats sub-agg): per (query, lang),
     * doc count and n_chars stats over the match set.
@@ -2503,6 +2581,10 @@ object SparkEntry {
     "q_bool_full_index" -> boolFullSql,
     "q_sig_terms" -> sigTermsSql,
     "q_sig_terms_index" -> sigTermsSql,
+    "q_rrf_hybrid" -> rrfSql,
+    "q_rrf_hybrid_index" -> rrfSql, // WAND + knn legs ≡ exhaustive twins
+    "q_rank_eval" -> rankEvalSql,
+    "q_rank_eval_index" -> rankEvalSql, // WAND page + postings judgments ≡ relational twin
     "q_collapse" -> collapseSql,
     "q_collapse_index" -> collapseSql,
     "q_nested_agg" -> nestedAggSql,

@@ -360,4 +360,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"),
         (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
   }
+
+  /** Exact cosine ranks of request-supplied query vectors against the WHOLE
+    * corpus — the kNN retriever half of hybrid (RRF) search. Unlike
+    * [[bruteForceTopK]] there is no self-exclusion: the query vector arrives
+    * with the request (ES `knn.query_vector`), it is not a corpus row.
+    * `queryVecs` is (query_id: string, qvec: array<float>); emits
+    * (query_id, doc_id, knn_rank) for ranks ≤ `window`, doc_id being the
+    * corpus `vec_id` (≡ the documents table's doc_id in the harness tables).
+    *
+    * Scale shape: queries broadcast, corpus streamed once; per-query rank is
+    * a window over (query × corpus) rows partitioned by query_id — at real
+    * scale the same statement swaps in the IVF candidate cut
+    * ([[ivfTopK]]'s probed-bucket join) before the window without touching
+    * the fusion contract downstream.
+    */
+  def cosineRanks(corpus: DataFrame, queryVecs: DataFrame, window: Int = 10): DataFrame = {
+    val q = broadcast(queryVecs.select(col("query_id"), col("qvec")))
+    val scored = corpus.select(col("vec_id").cast("long").as("doc_id"), col("embedding"))
+      .crossJoin(q)
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("qvec")) / (norm(col("embedding")) * norm(col("qvec"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("doc_id").asc)
+    scored.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= window)
+      .select("query_id", "doc_id", "knn_rank")
+  }
 }

@@ -1035,4 +1035,47 @@ object IndexSearch {
       .agg(count(lit(1)).as("n_docs"))
     SearchOps.compositePage(buckets, f1, f2, size)
   }
+
+  /** Hybrid (RRF) retrieval served from the engine's two indexes: lexical
+    * ranks from block-max WAND over the inverted index (rank-identical to
+    * the exhaustive oracle by the engine's core contract), kNN ranks from
+    * the request vectors against the embeddings table, fused by
+    * [[SearchOps.rrfFuse]] — ES 8's `retriever: {rrf: ...}` with a lexical
+    * and a knn leg. The brute cosine leg is the exactness baseline; a
+    * serving deployment swaps in the IVF candidate cut
+    * (Similarity.ivfTopK's probed buckets) without touching the fusion.
+    */
+  def rrfHybrid(spark: SparkSession, indexDir: String, emb: DataFrame,
+      queries: Seq[(String, String)], k: Int = 10, rankConstant: Int = 60,
+      window: Int = 10): DataFrame = {
+    val text = QueryEngine.topK(spark, indexDir, queries, window).toDF()
+      .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+        col("rank").as("text_rank"))
+    val knn = graft.ops.Similarity.cosineRanks(
+      emb, SearchOps.queryVectors(emb, queries), window)
+    SearchOps.rrfFuse(text, knn, k, rankConstant)
+  }
+
+  /** `_rank_eval` served from the inverted index: the evaluated ranking is
+    * the WAND top-k and the judgment set is the conjunctive match set
+    * computed from postings (matched-term count == query arity — no corpus
+    * scan on either leg). Metrics via [[SearchOps.rankEvalMetrics]], so the
+    * index twin is hash-equal to the relational oracle whenever WAND is
+    * rank-identical to exhaustive BM25 — the engine's core contract.
+    */
+  def rankEval(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
+    val ranked = QueryEngine.topK(spark, indexDir, queries, k).toDF()
+      .select(col("queryId").as("query_id"), col("rank"), col("docId").as("doc_id"))
+    val qn = queries.map { case (qid, text) =>
+      (qid, an.tokenize(text).distinct.length.toLong)
+    }.toDF("query_id", "nq")
+    val relevant = scoredMatches(spark, indexDir, queries)
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("matched") === col("nq"))
+      .select("query_id", "doc_id")
+    SearchOps.rankEvalMetrics(ranked, relevant, queries, k)
+  }
 }

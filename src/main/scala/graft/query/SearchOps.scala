@@ -1436,4 +1436,134 @@ object SearchOps {
       .filter(col("page_rank") <= size)
       .select(col("query_id"), col("page_rank"), col(f1), col(f2), col("n_docs"))
   }
+
+  // ---- hybrid retrieval: reciprocal rank fusion (ES 8 `retriever: rrf`) ----
+
+  /** Fuse a lexical and a kNN rank list by reciprocal rank fusion: each
+    * retriever contributes 1/(rankConstant + rank) for documents inside its
+    * rank window, and documents re-rank by the fused sum (ES
+    * `rrf.rank_constant`, default 60). Inputs are
+    * (query_id, doc_id, text_rank) and (query_id, doc_id, knn_rank) with
+    * ranks already cut to each retriever's window; emits
+    * (query_id, rank, doc_id, rrf, text_rank, knn_rank), 0 marking "outside
+    * that retriever's window". The lexical contribution is added first —
+    * the fixed association the oracle mirrors (sums of two doubles are
+    * order-sensitive in IEEE).
+    *
+    * Scale shape: both inputs are top-window lists (k·queries rows), so the
+    * outer join and the final per-query window are tiny regardless of corpus
+    * size — all the heavy lifting happened inside each retriever.
+    */
+  def rrfFuse(text: DataFrame, knn: DataFrame, k: Int = 10,
+      rankConstant: Int = 60): DataFrame = {
+    val fused = text.withColumnRenamed("text_rank", "tr")
+      .join(knn.withColumnRenamed("knn_rank", "vr"), Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rankConstant) + col("tr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rankConstant) + col("vr")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf") + lit(1.0e-9), 6).as("rrf"),
+        coalesce(col("tr"), lit(0)).as("text_rank"),
+        coalesce(col("vr"), lit(0)).as("knn_rank"))
+  }
+
+  /** Hybrid (RRF) retrieval, relational twin: lexical ranks from exhaustive
+    * BM25 over the corpus, kNN ranks from exact cosine of the per-query
+    * request vector against the embeddings table (vec_id ≡ doc_id in the
+    * harness tables; the i-th reference query carries the i-th embedding as
+    * its request vector, a deterministic stand-in for an encoder). The
+    * index-served twin is [[IndexSearch.rrfHybrid]].
+    */
+  def rrfHybrid(docs: DataFrame, emb: DataFrame, queries: Seq[(String, String)],
+      k: Int = 10, rankConstant: Int = 60, window: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val text = Bm25Sql.topKDocs(docs, queries, window)
+      .select(col("query_id"), col("doc_id"), col("rank").as("text_rank"))
+    val knn = graft.ops.Similarity.cosineRanks(emb, queryVectors(emb, queries), window)
+    rrfFuse(text, knn, k, rankConstant)
+  }
+
+  /** The per-query request vectors for hybrid search: query i ↦ embedding
+    * with vec_id = i (deterministic, corpus-independent of the text side).
+    */
+  def queryVectors(emb: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ids = queries.zipWithIndex.map { case ((qid, _), i) => (qid, i.toLong) }
+      .toDF("query_id", "qvec_id")
+    broadcast(ids)
+      .join(emb.select(col("vec_id").as("qvec_id"), col("embedding").as("qvec")), Seq("qvec_id"))
+      .select("query_id", "qvec")
+  }
+
+  // ---- ranking evaluation (ES `_rank_eval` API) ----
+
+  /** Ranking-evaluation metrics for a ranked result list against a
+    * relevance judgment set — the ES `_rank_eval` API with its four stock
+    * metrics: precision@k (hits / k over the returned page),
+    * recall@k (hits / |relevant|), MRR (1 / first relevant rank), and
+    * binary-gain NDCG@k. `ranked` is (query_id, rank, doc_id) already cut
+    * to the top-k page; `relevant` is (query_id, doc_id). Every query in
+    * `queries` gets a row (zeros when nothing relevant was returned — and
+    * recall/NDCG are 0 by convention when the judgment set itself is empty,
+    * matching a rated-request with no rated positives).
+    *
+    * DCG folds gains in ascending-rank order and IDCG in ascending ideal
+    * position, so both are bit-identical to the oracle's
+    * `sum(x ORDER BY rank)`; gains are written ln(r+1)/ln(2), the exact
+    * expression the oracle evaluates.
+    *
+    * Scale shape: `ranked` is k·queries rows; only `relevant` scales with
+    * the corpus, and it is consumed by one groupBy + one broadcast-able
+    * join against the page. No corpus-sized window, no driver loop.
+    */
+  def rankEvalMetrics(ranked: DataFrame, relevant: DataFrame,
+      queries: Seq[(String, String)], k: Int = 10): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val gain = lit(1.0) / (log(col("rank").cast("double") + lit(1.0)) / log(lit(2.0)))
+    val nrel = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.join(relevant, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("min_rank"),
+        aggregate(array_sort(collect_list(col("rank"))), lit(0.0),
+          (acc, r) => acc + lit(1.0) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0))))
+          .as("dcg"))
+    val spine = queries.map(_._1).toDF("query_id")
+    val idcg = when(col("n_rel") === 0, lit(0.0)).otherwise(
+      aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))), lit(0.0),
+        (acc, i) => acc + lit(1.0) / (log(i.cast("double") + lit(1.0)) / log(lit(2.0)))))
+    spine
+      .join(nrel, Seq("query_id"), "left_outer")
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_rel", "n_hits", "min_rank"))
+      .na.fill(0.0, Seq("dcg"))
+      .withColumn("idcg", idcg)
+      .select(col("query_id"), col("n_rel"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble) + lit(1.0e-9), 4).as("prec"),
+        round(when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_rel").cast("double")) + lit(1.0e-9), 4)
+          .as("recall"),
+        round(when(col("min_rank") === 0, lit(0.0))
+          .otherwise(lit(1.0) / col("min_rank").cast("double")) + lit(1.0e-9), 4).as("mrr"),
+        round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)) + lit(1.0e-9), 4)
+          .as("ndcg"))
+  }
+
+  /** `_rank_eval`, relational twin: the evaluated ranking is the exhaustive
+    * BM25 top-k and the judgment set is the conjunctive match set (docs
+    * containing EVERY query term — a deterministic, corpus-derived rating
+    * rule, so the oracle can reproduce it exactly). The index-served twin
+    * is [[IndexSearch.rankEval]].
+    */
+  def rankEval(docs: DataFrame, queries: Seq[(String, String)], k: Int = 10): DataFrame = {
+    val ranked = Bm25Sql.topKDocs(docs, queries, k).select("query_id", "rank", "doc_id")
+    val relevant = Bm25Sql.scoredDocs(docs, queries)
+      .filter(col("matched") === col("nq")).select("query_id", "doc_id")
+    rankEvalMetrics(ranked, relevant, queries, k)
+  }
 }

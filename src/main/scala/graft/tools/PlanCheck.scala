@@ -272,6 +272,21 @@ object PlanCheck {
         .queryExecution.explainString(fmt),
       wants = Seq("PushedFilters: [Or("),
       rejects = Seq("documents.parquet", "CartesianProduct"))
+    // rrf hybrid: lexical leg from postings (term pushdown), knn leg from
+    // the embeddings table with queries broadcast; the corpus text is never
+    // scanned and the fusion join is over two top-window lists
+    check("rrf hybrid via WAND + broadcast knn leg (no corpus scan)",
+      graft.query.IndexSearch.rrfHybrid(spark, idx,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), graft.RefQueries.set)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term", "BroadcastNestedLoopJoin"),
+      rejects = Seq("documents.parquet"))
+    // rank_eval: page from WAND, judgments from postings-only scoredMatches
+    check("rank_eval via WAND page + postings judgments (no corpus scan)",
+      graft.query.IndexSearch.rankEval(spark, idx, graft.RefQueries.set)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
 
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
