@@ -378,6 +378,48 @@ object SparkEntry {
       val idx = IndexCache.forDocuments(s, d)
       IndexSearch.rankEval(s, idx, RefQueries.set).orderBy("query_id")
     }),
+    // ---- linear retriever (ES 8.16 weighted-score fusion) ----
+    "q_linear_hybrid" -> ((s, d) =>
+      SearchOps.linearHybrid(TextOps.documents(s, d), Similarity.embeddings(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")),
+    "q_linear_hybrid_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.linearHybrid(s, idx, Similarity.embeddings(s, d), RefQueries.set)
+        .orderBy("query_id", "rank")
+    }),
+    // ---- span_containing / span_within: the last span-family members ----
+    "q_span_containing" -> ((s, d) =>
+      SearchOps.spanContainCounts(TextOps.documents(s, d), within = false)
+        .orderBy("probe_id", "doc_id")),
+    "q_span_containing_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.spanContainMatch(s, pos, SearchOps.SpanContainProbes, within = false)
+        .orderBy("probe_id", "doc_id")
+    }),
+    "q_span_within" -> ((s, d) =>
+      SearchOps.spanContainCounts(TextOps.documents(s, d), within = true)
+        .orderBy("probe_id", "doc_id")),
+    "q_span_within_index" -> ((s, d) => {
+      val pos = IndexCache.positionsForDocuments(s, d)
+      graft.index.Positions.spanContainMatch(s, pos, SearchOps.SpanContainProbes, within = true)
+        .orderBy("probe_id", "doc_id")
+    }),
+    // ---- _terms_enum / _mget APIs ----
+    "q_terms_enum" -> ((s, d) =>
+      SearchOps.termsEnum(TextOps.documents(s, d)).orderBy("probe_id", "rank")),
+    "q_terms_enum_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.termsEnum(s, idx).orderBy("probe_id", "rank")
+    }),
+    "q_mget" -> ((s, d) =>
+      SearchOps.mget(TextOps.documents(s, d)).orderBy("req_id")),
+    "q_mget_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.mget(s, idx).orderBy("req_id")
+    }),
+    // ---- has_child / has_parent (ES parent-join) ----
+    "q_has_child" -> ((s, d) => Relational.hasChild(s, d).orderBy("c_custkey")),
+    "q_has_parent" -> ((s, d) => Relational.hasParent(s, d).orderBy("o_orderkey")),
     "q_nested_agg" -> ((s, d) =>
       SearchOps.nestedAgg(TextOps.documents(s, d), RefQueries.set)
         .orderBy("query_id", "lang")),
@@ -1350,13 +1392,15 @@ object SparkEntry {
     * score = Σ 1/(60 + rank); lexical contribution added first, like the
     * Spark side. Ordered element sums keep the cosine bit-identical.
     */
-  private def rrfSql: String = {
+  /** Request-vector kNN CTEs shared by the hybrid (rrf/linear) oracles:
+    * per (query, corpus vector) the ordered-element dot product and both
+    * norms — query i carrying embedding vec_id = i, exactly
+    * `SearchOps.queryVectors`.
+    */
+  private def knnCtes: String = {
     val qv = RefQueries.set.zipWithIndex
       .map { case ((qid, _), i) => s"('$qid',$i)" }.mkString(", ")
-    s"""WITH $scoredCtes,
-       |tr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS text_rank FROM scored),
-       |ttop AS (SELECT * FROM tr WHERE text_rank <= 10),
-       |qv(query_id, qvec_id) AS (VALUES $qv),
+    s"""qv(query_id, qvec_id) AS (VALUES $qv),
        |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
        |pairs AS (
        |  SELECT qv.query_id, ev.vec_id AS doc_id,
@@ -1364,7 +1408,14 @@ object SparkEntry {
        |    sum((ev.embedding[ev.i]::DOUBLE) * (ev.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS na,
        |    sum((qe.embedding[ev.i]::DOUBLE) * (qe.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS nq2
        |  FROM ev CROSS JOIN qv JOIN embeddings qe ON qe.vec_id = qv.qvec_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def rrfSql: String = {
+    s"""WITH $scoredCtes,
+       |tr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS text_rank FROM scored),
+       |ttop AS (SELECT * FROM tr WHERE text_rank <= 10),
+       |$knnCtes,
        |vtop AS (SELECT query_id, doc_id, knn_rank FROM (
        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq2)) DESC, doc_id ASC)::INT AS knn_rank FROM pairs) vr
        |  WHERE knn_rank <= 10),
@@ -1406,6 +1457,119 @@ object SparkEntry {
        |  round(CASE WHEN coalesce(i.idcg, 0.0) > 0 AND b.n_rel > 0 THEN b.dcg / i.idcg ELSE 0.0 END + 1.0e-9, 4) AS ndcg
        |FROM base b LEFT JOIN idcg_t i ON i.m = least(b.n_rel, 10)
        |ORDER BY query_id""".stripMargin
+
+  /** Linear retriever (weighted min-max-normalized score fusion): BM25
+    * top-10 and cosine top-10 each normalized over their own window
+    * ((s−min)/(max−min), 1.0 when degenerate), fused 2·nt + 1·nk — the
+    * lexical product first, like the Spark side. Legs' raw scores are the
+    * ordered-fold BM25 and ordered-element cosine, so normalization sees
+    * bit-identical inputs on both sides.
+    */
+  private def linearSql: String =
+    s"""WITH $scoredCtes,
+       |tr AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS text_rank FROM scored),
+       |ttop AS (SELECT * FROM tr WHERE text_rank <= 10),
+       |tn AS (SELECT query_id, doc_id, text_rank, CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS nt
+       |  FROM (SELECT *, min(score) OVER (PARTITION BY query_id) AS mn, max(score) OVER (PARTITION BY query_id) AS mx FROM ttop) t),
+       |$knnCtes,
+       |vr AS (SELECT query_id, doc_id, dp / (sqrt(na) * sqrt(nq2)) AS vscore,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq2)) DESC, doc_id ASC)::INT AS knn_rank FROM pairs),
+       |vtop AS (SELECT * FROM vr WHERE knn_rank <= 10),
+       |vn AS (SELECT query_id, doc_id, knn_rank, CASE WHEN mx = mn THEN 1.0 ELSE (vscore - mn) / (mx - mn) END AS nk
+       |  FROM (SELECT *, min(vscore) OVER (PARTITION BY query_id) AS mn, max(vscore) OVER (PARTITION BY query_id) AS mx FROM vtop) t),
+       |fused AS (
+       |  SELECT coalesce(t.query_id, v.query_id) AS query_id, coalesce(t.doc_id, v.doc_id) AS doc_id,
+       |    2.0 * coalesce(t.nt, 0.0) + 1.0 * coalesce(v.nk, 0.0) AS lin,
+       |    coalesce(t.text_rank, 0) AS text_rank, coalesce(v.knn_rank, 0) AS knn_rank
+       |  FROM tn t FULL OUTER JOIN vn v ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY lin DESC, doc_id ASC)::INT AS rank, doc_id, round(lin + 1.0e-9, 6) AS lin, text_rank, knn_rank FROM fused)
+       |SELECT query_id, rank, doc_id, lin, text_rank, knn_rank FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** span_containing / span_within oracle, shared by the relational and
+    * sidecar twins: big spans = the span_near pair (i < j ≤ i + slop + 1,
+    * extent [i, j]); `within = false` counts big spans holding a little
+    * position, `within = true` counts little positions inside a big span.
+    */
+  private def spanContainSql(within: Boolean): String = {
+    val probes = graft.query.SearchOps.SpanContainProbes
+    val ctes = probes.map { case (pid, little, a, b, slop) =>
+      val agg =
+        if (within)
+          s"""p_$pid AS (SELECT '$pid' AS probe_id, l.doc_id, count(*)::BIGINT AS n_matches
+             |  FROM ll_$pid l WHERE EXISTS (SELECT 1 FROM sp_$pid s WHERE s.doc_id = l.doc_id AND l.i >= s.i AND l.i <= s.j)
+             |  GROUP BY 2)""".stripMargin
+        else
+          s"""p_$pid AS (SELECT '$pid' AS probe_id, s.doc_id, count(*)::BIGINT AS n_matches
+             |  FROM sp_$pid s WHERE EXISTS (SELECT 1 FROM ll_$pid l WHERE l.doc_id = s.doc_id AND l.i >= s.i AND l.i <= s.j)
+             |  GROUP BY 2)""".stripMargin
+      s"""sp_$pid AS (SELECT a.doc_id, a.i, b.i AS j
+         |  FROM (SELECT doc_id, i FROM arridx WHERE toks[i] = '$a') a
+         |  JOIN (SELECT doc_id, i FROM arridx WHERE toks[i] = '$b') b
+         |    ON b.doc_id = a.doc_id AND b.i > a.i AND b.i <= a.i + ${slop + 1}),
+         |ll_$pid AS (SELECT doc_id, i FROM arridx WHERE toks[i] = '$little'),
+         |$agg""".stripMargin
+    }
+    val union = probes.map { case (pid, _, _, _, _) => s"SELECT * FROM p_$pid" }
+      .mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM arrs WHERE len(toks) >= 1),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY probe_id, doc_id""".stripMargin
+  }
+
+  /** `_terms_enum` oracle: vocabulary df from the (doc, term) distinct,
+    * prefix + search_after paging in lexicographic order.
+    */
+  private def termsEnumSql: String = {
+    val vals = graft.query.SearchOps.TermsEnumProbes
+      .map { case (pid, pfx, aft, sz) => s"('$pid','$pfx','$aft',$sz)" }.mkString(", ")
+    s"""WITH $TOK,
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |dfv AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+       |p(probe_id, prefix, aft, sz) AS (VALUES $vals),
+       |r AS (SELECT probe_id, term, df, sz,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY term ASC)::INT AS rank
+       |  FROM dfv JOIN p ON starts_with(term, prefix) AND term > aft)
+       |SELECT probe_id, rank, term, df FROM r WHERE rank <= sz ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** `_mget` oracle: every requested id yields a row; misses carry
+    * found = false and doclen 0.
+    */
+  private def mgetSql: String = {
+    val vals = graft.query.SearchOps.MgetRequests
+      .map { case (rid, id) => s"('$rid',$id)" }.mkString(", ")
+    s"""WITH $TOK,
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY 1),
+       |r(req_id, doc_id) AS (VALUES $vals)
+       |SELECT r.req_id, r.doc_id::BIGINT AS doc_id, (d.doc_id IS NOT NULL) AS found,
+       |  coalesce(dl.doclen, 0)::BIGINT AS doclen
+       |FROM r LEFT JOIN documents d ON r.doc_id = d.doc_id
+       |LEFT JOIN dl ON r.doc_id = dl.doc_id
+       |ORDER BY r.req_id""".stripMargin
+  }
+
+  /** has_child oracle: parents with 2–5 open-order children, score_mode
+    * sum over child totalprice.
+    */
+  private def hasChildSql: String =
+    s"""SELECT c.c_custkey, c.c_mktsegment, x.n_children, x.child_score
+       |FROM (SELECT o_custkey, count(*)::BIGINT AS n_children,
+       |        round(sum(o_totalprice), 4) AS child_score
+       |      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+       |      HAVING count(*) BETWEEN 2 AND 5) x
+       |JOIN customer c ON c.c_custkey = x.o_custkey
+       |ORDER BY c.c_custkey""".stripMargin
+
+  /** has_parent oracle: orders whose parent customer matches the parent
+    * query (BUILDING segment, balance > 1000).
+    */
+  private def hasParentSql: String =
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+       |FROM orders o
+       |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+       |  AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 1000)
+       |ORDER BY o.o_orderkey""".stripMargin
 
   /** Nested aggregation (terms bucket + stats sub-agg): per (query, lang),
     * doc count and n_chars stats over the match set.
@@ -2585,6 +2749,18 @@ object SparkEntry {
     "q_rrf_hybrid_index" -> rrfSql, // WAND + knn legs ≡ exhaustive twins
     "q_rank_eval" -> rankEvalSql,
     "q_rank_eval_index" -> rankEvalSql, // WAND page + postings judgments ≡ relational twin
+    "q_linear_hybrid" -> linearSql,
+    "q_linear_hybrid_index" -> linearSql, // WAND scores bit-identical ⇒ same normalization
+    "q_span_containing" -> spanContainSql(within = false),
+    "q_span_containing_index" -> spanContainSql(within = false),
+    "q_span_within" -> spanContainSql(within = true),
+    "q_span_within_index" -> spanContainSql(within = true),
+    "q_terms_enum" -> termsEnumSql,
+    "q_terms_enum_index" -> termsEnumSql, // dictionary walk ≡ corpus-derived vocabulary
+    "q_mget" -> mgetSql,
+    "q_mget_index" -> mgetSql, // docs-sidecar point read ≡ relational left join
+    "q_has_child" -> hasChildSql,
+    "q_has_parent" -> hasParentSql,
     "q_collapse" -> collapseSql,
     "q_collapse_index" -> collapseSql,
     "q_nested_agg" -> nestedAggSql,

@@ -479,4 +479,91 @@ object Positions {
       }
       .toDF("probe_id", "doc_id", "n_matches")
   }
+
+  /** span_containing / span_within (ES) served from the positional sidecar,
+    * completing the span family. The big span is the span_near pair
+    * (a, b, slop) — (i, j) with i < j ≤ i + slop + 1, extent [i, j]
+    * inclusive — and the little span a single term's position.
+    * `containing` counts big spans holding ≥1 little position (two binary
+    * searches on the little list per candidate pair); `within` counts
+    * little positions enclosed by ≥1 big span (an i-window scan on the a
+    * list + one binary-search probe on the b list per candidate). Same
+    * bucket-local cogroup shape as [[spanNearMatch]]: term-pruned sidecar
+    * scan, per-bucket position maps, no corpus access. Extents are
+    * relative, so the sidecar's 0-based positions need no rebase.
+    */
+  def spanContainMatch(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String, String, String, Int)], within: Boolean,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val allTerms = probes.flatMap { case (_, l, a, b, _) => Seq(l, a, b) }.distinct
+    val probesB = spark.sparkContext.broadcast(probes)
+    val tombB = spark.sparkContext.broadcast(tombstones)
+
+    val rows = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("bucket"), col("term"), col("docId"), col("positions"))
+      .as[(Int, String, Long, Array[Int])]
+
+    def lb(arr: Array[Int], v: Int): Int = {
+      val i = java.util.Arrays.binarySearch(arr, v)
+      if (i >= 0) i else -i - 1
+    }
+
+    rows.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val pos = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Array[Int]]]
+        it.foreach { case (_, term, docId, ps) =>
+          pos.getOrElseUpdate(term, scala.collection.mutable.HashMap.empty).put(docId, ps)
+        }
+        val tomb = tombB.value
+        probesB.value.iterator.flatMap { case (pid, little, bigA, bigB, slop) =>
+          (pos.get(little), pos.get(bigA), pos.get(bigB)) match {
+            case (Some(ml), Some(ma), Some(mb)) =>
+              ma.iterator.filter(e => !tomb.contains(e._1)).flatMap { case (docId, pa) =>
+                (ml.getOrElse(docId, null), mb.getOrElse(docId, null)) match {
+                  case (pl, pb) if pl != null && pb != null =>
+                    var cnt = 0L
+                    if (within) {
+                      // little positions enclosed by some (i, j) big span
+                      var z = 0
+                      while (z < pl.length) {
+                        val p = pl(z)
+                        var x = lb(pa, p - slop - 1) // i ≥ p − slop − 1
+                        val xEnd = lb(pa, p + 1)     // i ≤ p
+                        var found = false
+                        while (!found && x < xEnd) {
+                          val i = pa(x)
+                          val jLo = math.max(i + 1, p) // j > i and j ≥ p
+                          if (lb(pb, i + slop + 2) - lb(pb, jLo) > 0) found = true
+                          x += 1
+                        }
+                        if (found) cnt += 1
+                        z += 1
+                      }
+                    } else {
+                      // big spans holding ≥1 little position in [i, j]
+                      var x = 0
+                      while (x < pa.length) {
+                        val i = pa(x)
+                        var y = lb(pb, i + 1)
+                        val yEnd = lb(pb, i + slop + 2)
+                        while (y < yEnd) {
+                          val j = pb(y)
+                          if (lb(pl, j + 1) - lb(pl, i) > 0) cnt += 1
+                          y += 1
+                        }
+                        x += 1
+                      }
+                    }
+                    if (cnt > 0) Iterator.single((pid, docId, cnt)) else Iterator.empty
+                  case _ => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("probe_id", "doc_id", "n_matches")
+  }
 }

@@ -72,6 +72,44 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** has_child (ES parent-join): return PARENT docs (customers) having
+    * between `minChildren` and `maxChildren` children (orders) matching the
+    * child query (open status), with score_mode=sum over the children's
+    * totalprice — the full min_children/max_children/score_mode surface the
+    * plain relate join (J1) doesn't carry. Children aggregate first (the
+    * big side shrinks to one row per parent), then one broadcast join
+    * fetches parent fields — no parent-side shuffle at any scale.
+    */
+  def hasChild(spark: SparkSession, sfDir: String,
+      minChildren: Int = 2, maxChildren: Int = 5): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_children"),
+        round(sum("o_totalprice"), 4).as("child_score"))
+      .filter(col("n_children").between(minChildren, maxChildren))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_children"),
+        col("child_score"))
+  }
+
+  /** has_parent (ES parent-join): return CHILD docs (orders) whose parent
+    * (customer) matches the parent query — a broadcast semi-join, the
+    * parent predicate never touching the child scan.
+    */
+  def hasParent(spark: SparkSession, sfDir: String,
+      segment: String = "BUILDING", minBal: Double = 1000.0): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val parents = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === segment && col("c_acctbal") > minBal)
+      .select(col("c_custkey"))
+    orders.join(broadcast(parents), orders("o_custkey") === parents("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+  }
+
   /** W3 — tombstone delete propagation: drop every order whose customer is
     * in the tombstone set (stateless delete via anti-join,
     * `monstache.go:4065-4147`). Tombstones: customers with negative balance.

@@ -375,7 +375,14 @@ object Similarity {
     * ([[ivfTopK]]'s probed-bucket join) before the window without touching
     * the fusion contract downstream.
     */
-  def cosineRanks(corpus: DataFrame, queryVecs: DataFrame, window: Int = 10): DataFrame = {
+  def cosineRanks(corpus: DataFrame, queryVecs: DataFrame, window: Int = 10): DataFrame =
+    cosineScored(corpus, queryVecs, window).select("query_id", "doc_id", "knn_rank")
+
+  /** [[cosineRanks]] keeping the raw cosine — the scored kNN leg the linear
+    * (weighted-score) retriever normalizes; the ordered element fold keeps
+    * it bit-identical to the oracle's `sum(x ORDER BY i)` cosine.
+    */
+  def cosineScored(corpus: DataFrame, queryVecs: DataFrame, window: Int = 10): DataFrame = {
     val q = broadcast(queryVecs.select(col("query_id"), col("qvec")))
     val scored = corpus.select(col("vec_id").cast("long").as("doc_id"), col("embedding"))
       .crossJoin(q)
@@ -384,6 +391,6 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("doc_id").asc)
     scored.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= window)
-      .select("query_id", "doc_id", "knn_rank")
+      .select("query_id", "doc_id", "knn_rank", "cosine_raw")
   }
 }

@@ -1078,4 +1078,59 @@ object IndexSearch {
       .select("query_id", "doc_id")
     SearchOps.rankEvalMetrics(ranked, relevant, queries, k)
   }
+
+  /** `_terms_enum` served from the terms-dictionary sidecar: segments
+    * summed on read, prefix + search_after as literal predicates on the
+    * term-sorted parquet (min/max-pruned), lexicographic paging via the
+    * shared tail ([[SearchOps.termsEnumFrom]]). The FST walk ES runs,
+    * re-expressed as a pruned dictionary scan — no corpus, no postings.
+    */
+  def termsEnum(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String, String, Int)] = SearchOps.TermsEnumProbes): DataFrame = {
+    val dict = spark.read.parquet(s"$indexDir/terms")
+      .filter(probes.map { case (_, pfx, after, _) =>
+        col("term").startsWith(pfx) && col("term") > after
+      }.reduce(_ || _))
+      .groupBy("term").agg(sum("df").as("df"))
+    SearchOps.termsEnumFrom(dict, probes)
+  }
+
+  /** `_mget` served from the docs sidecar: In(docId) pushdown prunes to a
+    * handful of row groups like [[idsLookup]], and the request list is the
+    * broadcast left side so MISSES SURVIVE — `found` false with doclen 0,
+    * the mget-vs-ids semantic difference. No corpus access; doclen comes
+    * from the sidecar, not a re-tokenize.
+    */
+  def mget(spark: SparkSession, indexDir: String,
+      requests: Seq[(String, Long)] = SearchOps.MgetRequests): DataFrame = {
+    import spark.implicits._
+    val req = requests.toDF("req_id", "doc_id")
+    val hits = spark.read.parquet(s"$indexDir/docs")
+      .filter(col("docId").isin(requests.map(_._2): _*))
+      .select(col("docId").as("doc_id"), lit(true).as("found"),
+        col("doclen").cast("long").as("doclen"))
+    req.join(broadcast(hits), Seq("doc_id"), "left_outer")
+      .select(col("req_id"), col("doc_id"),
+        coalesce(col("found"), lit(false)).as("found"),
+        coalesce(col("doclen"), lit(0L)).as("doclen"))
+  }
+
+  /** Linear (weighted-score) retriever served from the engine's indexes:
+    * lexical scores from block-max WAND (bit-identical to exhaustive BM25
+    * by the engine's core contract), kNN cosines from the request vectors,
+    * min-max normalized and combined by the shared
+    * [[SearchOps.linearFuse]] — ES 8.16's `retriever: {linear: ...}` with
+    * the minmax normalizer.
+    */
+  def linearHybrid(spark: SparkSession, indexDir: String, emb: DataFrame,
+      queries: Seq[(String, String)], k: Int = 10, wText: Double = 2.0,
+      wKnn: Double = 1.0, window: Int = 10): DataFrame = {
+    val text = QueryEngine.topK(spark, indexDir, queries, window).toDF()
+      .select(col("queryId").as("query_id"), col("docId").as("doc_id"),
+        col("rank").as("text_rank"), col("score").as("tscore"))
+    val knn = graft.ops.Similarity.cosineScored(
+        emb, SearchOps.queryVectors(emb, queries), window)
+      .withColumnRenamed("cosine_raw", "vscore")
+    SearchOps.linearFuse(text, knn, k, wText, wKnn)
+  }
 }

@@ -1566,4 +1566,186 @@ object SearchOps {
       .filter(col("matched") === col("nq")).select("query_id", "doc_id")
     rankEvalMetrics(ranked, relevant, queries, k)
   }
+
+  // ---- span_containing / span_within: the last two span-family members ----
+
+  /** Probes (probe_id, little, big_a, big_b, slop): the big span is the
+    * span_near pair (a before b within slop, extent [i, j] inclusive), the
+    * little span a single term. c3's little is absent (both queries empty),
+    * c4's little IS big_b — every big span trivially contains its own
+    * endpoint, so containing degenerates to the span_near pair count (the
+    * aliasing pin).
+    */
+  val SpanContainProbes: Seq[(String, String, String, String, Int)] = Seq(
+    ("c1", "query", "spark", "join", 4),
+    ("c2", "the", "hash", "merge", 3),
+    ("c3", "missingzzz", "spark", "query", 5),
+    ("c4", "scan", "table", "scan", 2))
+
+  /** span_containing / span_within, relational twin: positions of the three
+    * terms via filter-folds over the doc's own token array, then nested
+    * `exists` — narrow, one map over the corpus scan, no shuffle before the
+    * final aggregation-free emit. `within = false` counts big spans holding
+    * a little position; `within = true` counts little positions enclosed by
+    * a big span. Index twin: `Positions.spanContainMatch` (bucket-local
+    * cogroup + binary searches on sidecar position lists).
+    */
+  def spanContainCounts(docs: DataFrame, within: Boolean,
+      probes: Seq[(String, String, String, String, Int)] = SpanContainProbes): DataFrame = {
+    val toks = col("toks")
+    val per = probes.map { case (pid, little, bigA, bigB, slop) =>
+      val idx = sequence(lit(1), size(toks))
+      val pl = filter(idx, p => element_at(toks, p) === little)
+      val pa = filter(idx, i => element_at(toks, i) === bigA)
+      val pb = filter(idx, j => element_at(toks, j) === bigB)
+      val cnt =
+        if (within)
+          size(filter(pl, p => exists(pa, i =>
+            i <= p && exists(pb, j => j > i && j <= i + slop + 1 && j >= p))))
+        else
+          aggregate(pa, lit(0),
+            (acc, i) => acc + size(filter(pb, j =>
+              j > i && j <= i + slop + 1 && exists(pl, p => p >= i && p <= j))))
+      // guard BEFORE sequence(): an empty doc would build a descending range
+      struct(lit(pid).as("probe_id"),
+        when(size(toks) > 0, cnt.cast("long")).otherwise(lit(0L)).as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(per: _*)).as("m"))
+      .select(col("m.probe_id").as("probe_id"), col("doc_id"),
+        col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  // ---- `_terms_enum` API: prefix walk of the vocabulary with paging ----
+
+  /** (probe_id, prefix, search_after, size): e2 pages past "sl", e3's
+    * prefix matches nothing, e4 must include the prefix itself as a term.
+    */
+  val TermsEnumProbes: Seq[(String, String, String, Int)] = Seq(
+    ("e1", "qu", "", 5),
+    ("e2", "s", "sl", 8),
+    ("e3", "zz", "", 5),
+    ("e4", "the", "", 3))
+
+  /** `_terms_enum`, relational twin: vocabulary terms matching a prefix,
+    * lexicographically ordered, resuming after `search_after`, first `size`
+    * terms — plus each term's doc count (a superset of ES's terms-only
+    * response, making the oracle check stronger). Index twin:
+    * [[IndexSearch.termsEnum]] walks the terms-dictionary sidecar instead
+    * of deriving the vocabulary from the corpus.
+    */
+  def termsEnum(docs: DataFrame,
+      probes: Seq[(String, String, String, Int)] = TermsEnumProbes): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val df = TextOps.tokens(docs).select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    termsEnumFrom(df, probes)
+  }
+
+  /** The shared rank/page tail over any (term, df) vocabulary table. */
+  def termsEnumFrom(vocab: DataFrame,
+      probes: Seq[(String, String, String, Int)]): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val p = probes.toDF("probe_id", "prefix", "after", "sz")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("term").asc)
+    vocab.join(broadcast(p),
+        col("term").startsWith(col("prefix")) && col("term") > col("after"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("sz"))
+      .select(col("probe_id"), col("rank"), col("term"), col("df"))
+  }
+
+  // ---- `_mget`: multi-id GET preserving misses ----
+
+  /** (req_id, doc_id) — r4/r5 miss at every scale factor. */
+  val MgetRequests: Seq[(String, Long)] = Seq(
+    ("r1", 0L), ("r2", 7L), ("r3", 123L), ("r4", 999999999L), ("r5", -5L), ("r6", 42L))
+
+  /** `_mget`, relational twin: every requested id gets a row — `found`
+    * false (doclen 0) for ids not in the corpus, the defining difference
+    * from the ids query (which drops misses). Index twin:
+    * [[IndexSearch.mget]] reads the docs sidecar with In(docId) pushdown.
+    */
+  def mget(docs: DataFrame,
+      requests: Seq[(String, Long)] = MgetRequests): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val req = requests.toDF("req_id", "doc_id")
+    // push the id set INTO the corpus sides first (In reaches the scan), so
+    // the outer join's broadcast sides are O(requests) — never the corpus
+    val ids = requests.map(_._2)
+    val hit = docs.filter(col("doc_id").isin(ids: _*))
+    val dl = TextOps.tokens(hit).groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+    req
+      .join(broadcast(hit.select(col("doc_id"), lit(true).as("found"))), Seq("doc_id"), "left_outer")
+      .join(broadcast(dl), Seq("doc_id"), "left_outer")
+      .select(col("req_id"), col("doc_id"),
+        coalesce(col("found"), lit(false)).as("found"),
+        coalesce(col("doclen"), lit(0L)).as("doclen"))
+  }
+
+  // ---- linear retriever (ES 8.16 `retriever: linear`) ----
+
+  /** Fuse a scored lexical and a scored kNN leg by weighted min-max-
+    * normalized sum — ES's `linear` retriever with the `minmax` normalizer:
+    * within each leg's retrieved window, norm = (s − min)/(max − min)
+    * (pinned to 1.0 when the window's scores are all equal), and the fused
+    * score is `wText·normText + wKnn·normKnn` with 0 for a doc outside a
+    * leg's window. Inputs are (query_id, doc_id, text_rank, tscore) and
+    * (query_id, doc_id, knn_rank, vscore) already cut to each leg's
+    * window. The lexical product is added first (the fixed association the
+    * oracle mirrors); min/max are order-free and exact in IEEE, so
+    * bit-parity reduces to the legs' own score parity.
+    *
+    * Scale shape: identical to [[rrfFuse]] — normalization windows are over
+    * k·queries rows, the heavy lifting happened inside each retriever.
+    */
+  def linearFuse(text: DataFrame, knn: DataFrame, k: Int = 10,
+      wText: Double = 2.0, wKnn: Double = 1.0): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+    def minmax(s: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(1.0)).otherwise((s - mn) / (mx - mn))
+    val tn = text
+      .withColumn("nt", minmax(col("tscore"),
+        min(col("tscore")).over(wq), max(col("tscore")).over(wq)))
+      .select(col("query_id"), col("doc_id"), col("text_rank").as("tr"), col("nt"))
+    val vn = knn
+      .withColumn("nk", minmax(col("vscore"),
+        min(col("vscore")).over(wq), max(col("vscore")).over(wq)))
+      .select(col("query_id"), col("doc_id"), col("knn_rank").as("vr"), col("nk"))
+    val fused = tn.join(vn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("lin",
+        lit(wText) * coalesce(col("nt"), lit(0.0)) +
+          lit(wKnn) * coalesce(col("nk"), lit(0.0)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("lin").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("lin") + lit(1.0e-9), 6).as("lin"),
+        coalesce(col("tr"), lit(0)).as("text_rank"),
+        coalesce(col("vr"), lit(0)).as("knn_rank"))
+  }
+
+  /** Linear retriever, relational twin: exhaustive BM25 scores (kept raw,
+    * not the rounded page) and exact request-vector cosines, each min-max
+    * normalized over its top-window and combined 2:1. Index twin:
+    * [[IndexSearch.linearHybrid]].
+    */
+  def linearHybrid(docs: DataFrame, emb: DataFrame, queries: Seq[(String, String)],
+      k: Int = 10, wText: Double = 2.0, wKnn: Double = 1.0,
+      window: Int = 10): DataFrame = {
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    val text = Bm25Sql.scoredDocs(docs, queries)
+      .withColumn("text_rank", row_number().over(wr))
+      .filter(col("text_rank") <= window)
+      .select(col("query_id"), col("doc_id"), col("text_rank"), col("score").as("tscore"))
+    val knn = graft.ops.Similarity.cosineScored(emb, queryVectors(emb, queries), window)
+      .withColumnRenamed("cosine_raw", "vscore")
+    linearFuse(text, knn, k, wText, wKnn)
+  }
 }

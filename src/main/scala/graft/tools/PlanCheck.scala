@@ -287,6 +287,38 @@ object PlanCheck {
         .queryExecution.explainString(fmt),
       wants = Seq("PushedFilters: [In(term"),
       rejects = Seq("documents.parquet", "CartesianProduct"))
+    // linear retriever: same two-index shape as rrf, scores instead of ranks
+    check("linear retriever via WAND scores + broadcast knn leg (no corpus scan)",
+      graft.query.IndexSearch.linearHybrid(spark, idx,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), graft.RefQueries.set)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term", "BroadcastNestedLoopJoin"),
+      rejects = Seq("documents.parquet"))
+    // span_containing / span_within: three-term-pruned sidecar cogroup
+    check("span_containing via sidecar cogroup (term-pruned, no corpus)",
+      graft.index.Positions.spanContainMatch(spark, posDir,
+        graft.query.SearchOps.SpanContainProbes, within = false)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    check("span_within via sidecar cogroup (term-pruned, no corpus)",
+      graft.index.Positions.spanContainMatch(spark, posDir,
+        graft.query.SearchOps.SpanContainProbes, within = true)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    // terms_enum: dictionary-only walk, prefix pushdown, no postings decode
+    check("terms_enum via terms dictionary (StartsWith pushdown, no corpus, no postings)",
+      graft.query.IndexSearch.termsEnum(spark, idx)
+        .queryExecution.explainString(fmt),
+      wants = Seq("StartsWith(term"),
+      rejects = Seq("documents.parquet", "postings", "CartesianProduct"))
+    // mget: docs-sidecar point read, In(docId) row-group pruning, misses kept
+    check("mget via docs sidecar (In(docId) pushdown, no corpus)",
+      graft.query.IndexSearch.mget(spark, idx)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(docId", "BroadcastHashJoin"),
+      rejects = Seq("documents.parquet", "postings", "SortMergeJoin"))
 
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
