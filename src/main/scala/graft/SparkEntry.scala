@@ -836,6 +836,16 @@ object SparkEntry {
       Geo.geotileGrid(Geo.events(s, d)).orderBy("rank")),
     "q_geo_bounds" -> ((s, d) =>
       Geo.geoBounds(Geo.events(s, d)).orderBy("event_type")),
+    "q_geohash_grid" -> ((s, d) =>
+      Geo.geohashGrid(Geo.events(s, d)).orderBy("rank")),
+    "q_cumulative_cardinality" -> ((s, d) =>
+      AggsExt.cumulativeCardinality(Geo.events(s, d)).orderBy("event_type", "day")),
+    "q_global_agg" -> ((s, d) =>
+      SearchOps.globalAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_global_agg_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.globalAgg(s, idx, RefQueries.set).orderBy("query_id")
+    }),
     // ---- final aggregation-DSL batch: date_range, percentile_ranks,
     // bucket_script/percentiles_bucket, t_test, significant_text ----
     "q_date_range_agg" -> ((s, d) =>
@@ -2506,6 +2516,44 @@ object SparkEntry {
        |r AS (SELECT row_number() OVER (ORDER BY n_events DESC, tile_x ASC, tile_y ASC)::INT AS rank, tile_x, tile_y, n_events FROM g)
        |SELECT rank, tile_x, tile_y, n_events FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** geohash_grid oracle: the same integer quantize / interleave / base-32
+    * arithmetic as `Geo.geohashCell`, generated from the shared bit
+    * layout.
+    */
+  private def geohashGridSql: String =
+    s"""WITH ev AS (SELECT ${Geo.CentiLatSql} AS clat, ${Geo.CentiLonSql} AS clon FROM events),
+       |pts AS (SELECT clat, clon FROM ev),
+       |h AS (${Geo.geohashCellSql(5)}),
+       |g AS (SELECT geohash, count(*)::BIGINT AS n_events FROM h GROUP BY 1),
+       |r AS (SELECT row_number() OVER (ORDER BY n_events DESC, geohash ASC)::INT AS rank, geohash, n_events FROM g)
+       |SELECT rank, geohash, n_events FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  /** cumulative_cardinality oracle: first-appearance day per (type, user),
+    * then a running sum over the sparse day buckets.
+    */
+  private def cumulativeCardinalitySql: String =
+    s"""WITH fd AS (SELECT event_type, user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY 1, 2),
+       |nb AS (SELECT event_type, day, count(*)::BIGINT AS new_users FROM fd GROUP BY 1, 2)
+       |SELECT event_type, day, new_users,
+       |  (sum(new_users) OVER (PARTITION BY event_type ORDER BY day ASC))::BIGINT AS cum_users
+       |FROM nb ORDER BY event_type, day""".stripMargin
+
+  /** `global` agg oracle, shared by the relational and index twins:
+    * match-set metrics beside whole-index metrics.
+    */
+  private def globalAggSql: String =
+    s"""WITH $TOK,
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok GROUP BY 1),
+       |q(query_id, term) AS (VALUES ${RefQueries.sqlValues}),
+       |m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok ON q.term = tok.term),
+       |ma AS (SELECT m.query_id, count(*)::BIGINT AS n_matched, sum(dl.doclen)::BIGINT AS s_matched
+       |  FROM m JOIN dl ON m.doc_id = dl.doc_id GROUP BY 1),
+       |g AS (SELECT count(*)::BIGINT AS n_global, sum(doclen)::BIGINT AS s_global FROM dl)
+       |SELECT ma.query_id, ma.n_matched, g.n_global,
+       |  round(ma.s_matched::DOUBLE / ma.n_matched + 1.0e-9, 4) + 0.0 AS avg_dl_matched,
+       |  round(g.s_global::DOUBLE / g.n_global + 1.0e-9, 4) + 0.0 AS avg_dl_global
+       |FROM ma CROSS JOIN g ORDER BY ma.query_id""".stripMargin
+
   /** span_or oracle, shared by the relational and sidecar twins. */
   private def spanOrSql: String = {
     val ctes = graft.query.SearchOps.SpanOrClauses.map { case (cid, terms) =>
@@ -3346,6 +3394,10 @@ object SparkEntry {
     "q_span_first_index" -> spanFirstSql, // sidecar head-position path ≡ relational twin
     "q_auto_date_histogram" -> autoDateHistogramSql,
     "q_geo_bounds" -> geoBoundsSql,
+    "q_geohash_grid" -> geohashGridSql,
+    "q_cumulative_cardinality" -> cumulativeCardinalitySql,
+    "q_global_agg" -> globalAggSql,
+    "q_global_agg_index" -> globalAggSql, // postings match + sidecar global ≡ relational
     "q_span_or" -> spanOrSql,
     "q_span_or_index" -> spanOrSql, // sidecar length-sum path ≡ relational twin
     "q_span_not" -> spanNotSql,

@@ -123,4 +123,80 @@ object Geo {
       .filter(col("rank") <= n)
       .select("rank", "tile_x", "tile_y", "n_events")
   }
+
+  // ------------------------------------------------------- geohash_grid
+
+  /** The geohash base-32 alphabet (public spec: Niemeyer's geohash). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell of the derived point at `precision` chars, computed in
+    * EXACT integer arithmetic: quantize each axis to its bit budget
+    * (precision 5 ⇒ 13 lon + 12 lat bits) with one integer floor-division,
+    * interleave lon-first (the geohash spec), then base-32 the 5-bit
+    * groups. The whole thing is a single codegen'd expression tree —
+    * 25 shift/mask terms and `precision` table lookups, zero UDF — and the
+    * oracle evaluates the same integer ops, so cells are bit-stable.
+    */
+  def geohashCell(precision: Int = 5): Column = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2 // lon gets the extra bit (spec)
+    val latBits = totalBits / 2
+    val lonQ = expr(s"((clon + 18000) * ${1L << lonBits}) DIV 36001")
+    val latQ = expr(s"((clat + 9000) * ${1L << latBits}) DIV 18001")
+    // interleaved bit 2j   ← lon bit j   (lon claims the MSB)
+    // interleaved bit 2j+1 ← lat bit j
+    val lonTerms = (0 until lonBits).map(j =>
+      shiftleft(shiftright(lonQ, j).bitwiseAND(lit(1L)), 2 * j))
+    val latTerms = (0 until latBits).map(j =>
+      shiftleft(shiftright(latQ, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    val iv = (lonTerms ++ latTerms).reduce(_ + _)
+    val chars = (0 until precision).map { i =>
+      val shift = totalBits - 5 * (i + 1)
+      lit(GeohashAlphabet).substr(
+        (shiftright(iv, shift).bitwiseAND(lit(31L)) + lit(1L)).cast("int"), lit(1))
+    }
+    concat(chars: _*)
+  }
+
+  /** The DuckDB twin of [[geohashCell]] — the same quantization,
+    * interleave, and base-32 grouping as integer `//`, `%`, and
+    * substring arithmetic.
+    */
+  def geohashCellSql(precision: Int = 5): String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val lonQ = s"(((clon + 18000) * ${1L << lonBits}) // 36001)"
+    val latQ = s"(((clat + 9000) * ${1L << latBits}) // 18001)"
+    val lonTerms = (0 until lonBits).map(j =>
+      s"(($lonQ // ${1L << j}) % 2) * ${1L << (2 * j)}")
+    val latTerms = (0 until latBits).map(j =>
+      s"(($latQ // ${1L << j}) % 2) * ${1L << (2 * j + 1)}")
+    val iv = (lonTerms ++ latTerms).mkString(" + ")
+    val chars = (0 until precision).map { i =>
+      val shift = totalBits - 5 * (i + 1)
+      s"substr('$GeohashAlphabet', ((iv // ${1L << shift}) % 32 + 1)::INT, 1)"
+    }
+    s"SELECT *, ${chars.mkString(" || ")} AS geohash FROM (SELECT *, $iv AS iv FROM pts) ivt"
+  }
+
+  /** geohash_grid (ES): top-n geohash cells by event count — the
+    * bucket-key sibling of [[geotileGrid]] with geohash keys instead of
+    * z/x/y tiles. Narrow per-row derivation, one aggregation, one window
+    * over ≤ 32^precision cell rows.
+    */
+  def geohashGrid(ev: DataFrame, precision: Int = 5, n: Int = 10): DataFrame = {
+    // unlike geotile's ≤ 4^z cells, 32^precision can be millions: take the
+    // top-n with TakeOrderedAndProject (distributed heap), THEN rank the n
+    // survivors — no global single-partition window over the cell table
+    val top = ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .withColumn("geohash", geohashCell(precision))
+      .groupBy("geohash")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("geohash").asc)
+      .limit(n)
+    val w = Window.orderBy(col("n_events").desc, col("geohash").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("rank", "geohash", "n_events")
+  }
 }

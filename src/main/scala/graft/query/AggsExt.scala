@@ -199,6 +199,27 @@ object AggsExt {
           / count(lit(1)).over(mov) + lit(1.0e-9), 4) + lit(0.0))
   }
 
+  /** cumulative_cardinality (ES pipeline agg on a date_histogram +
+    * cardinality sub-agg): per (event_type, day), the running count of
+    * DISTINCT users seen so far. Computed exactly without any per-bucket
+    * distinct-union: a user contributes to the cumulative count on their
+    * FIRST day only, so one (type, user) min-day aggregation + one count
+    * per (type, first-day) + one running sum over bucket rows
+    * (≤ types × days) replaces ES's approximate HLL union — exact AND
+    * cheaper. `new_users` is ES's `incremental` flavor of the same agg.
+    */
+  def cumulativeCardinality(ev: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    ev.select(col("event_type"), col("user_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "user_id")
+      .agg(min(col("day")).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(byDay))
+      .select("event_type", "day", "new_users", "cum_users")
+  }
+
   /** top_metrics (ES): per query, the metric columns of the top-k docs
     * under an explicit sort (field desc, doc_id asc tiebreak) — argmax
     * without a full sort, one window over the match set.

@@ -1115,6 +1115,28 @@ object IndexSearch {
         coalesce(col("doclen"), lit(0L)).as("doclen"))
   }
 
+  /** `global` agg served from the index: the match set from postings, the
+    * global bucket from the docs sidecar (doclen > 0 mirrors the
+    * relational twin's tokenized universe) — one O(1) aggregation row
+    * broadcast onto the per-query metrics; the corpus text is never read.
+    */
+  def globalAgg(spark: SparkSession, indexDir: String,
+      queries: Seq[(String, String)]): DataFrame = {
+    val dl = spark.read.parquet(s"$indexDir/docs")
+      .filter(col("doclen") > 0)
+      .select(col("docId").as("doc_id"), col("doclen").cast("long").as("doclen"))
+    val matched = matchedDocs(spark, indexDir, queries).join(dl, Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_matched"), sum("doclen").as("s_matched"))
+    val global = dl.agg(count(lit(1)).as("n_global"), sum("doclen").as("s_global"))
+    matched.crossJoin(broadcast(global))
+      .select(col("query_id"), col("n_matched"), col("n_global"),
+        (round(col("s_matched").cast("double") / col("n_matched") + lit(1.0e-9), 4) + lit(0.0))
+          .as("avg_dl_matched"),
+        (round(col("s_global").cast("double") / col("n_global") + lit(1.0e-9), 4) + lit(0.0))
+          .as("avg_dl_global"))
+  }
+
   /** Linear (weighted-score) retriever served from the engine's indexes:
     * lexical scores from block-max WAND (bit-identical to exhaustive BM25
     * by the engine's core contract), kNN cosines from the request vectors,

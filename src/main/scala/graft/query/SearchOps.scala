@@ -1731,6 +1731,31 @@ object SearchOps {
         coalesce(col("vr"), lit(0)).as("knn_rank"))
   }
 
+  // ---- global aggregation (ES `global` bucket) ----
+
+  /** `global` agg, relational twin: per query, the match-set metrics next
+    * to the SAME metrics over the WHOLE index — ES's `global: {}` bucket,
+    * which escapes the query scope so a UI can show "matched vs all"
+    * side by side. Metric = doc count + mean doclen; doclen sums are exact
+    * longs, so the one double division is bit-stable without ordered
+    * folds. The global side is ONE aggregation row broadcast back onto
+    * queries — O(1) extra cost regardless of corpus size. Index twin:
+    * [[IndexSearch.globalAgg]] (postings match set + docs-sidecar global).
+    */
+  def globalAgg(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val dl = TextOps.tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+    val matched = matchedSet(docs, queries).join(dl, Seq("doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_matched"), sum("doclen").as("s_matched"))
+    val global = dl.agg(count(lit(1)).as("n_global"), sum("doclen").as("s_global"))
+    matched.crossJoin(broadcast(global))
+      .select(col("query_id"), col("n_matched"), col("n_global"),
+        (round(col("s_matched").cast("double") / col("n_matched") + lit(1.0e-9), 4) + lit(0.0))
+          .as("avg_dl_matched"),
+        (round(col("s_global").cast("double") / col("n_global") + lit(1.0e-9), 4) + lit(0.0))
+          .as("avg_dl_global"))
+  }
+
   /** Linear retriever, relational twin: exhaustive BM25 scores (kept raw,
     * not the rounded page) and exact request-vector cosines, each min-max
     * normalized over its top-window and combined 2:1. Index twin:

@@ -319,6 +319,19 @@ object PlanCheck {
         .queryExecution.explainString(fmt),
       wants = Seq("PushedFilters: [In(docId", "BroadcastHashJoin"),
       rejects = Seq("documents.parquet", "postings", "SortMergeJoin"))
+    // geohash_grid: 32^5 possible cells — the top-n must be a distributed
+    // heap (TakeOrderedAndProject), not a global window over the cell table
+    check("geohash_grid top-n via TakeOrderedAndProject (no global cell window)",
+      graft.ops.Geo.geohashGrid(graft.ops.Geo.events(spark, sfDir))
+        .queryExecution.explainString(fmt),
+      wants = Seq("TakeOrderedAndProject"),
+      rejects = Seq("CartesianProduct"))
+    // global agg: one O(1) global row broadcast onto per-query metrics
+    check("global agg via postings match + docs-sidecar global (no corpus)",
+      graft.query.IndexSearch.globalAgg(spark, idx, graft.RefQueries.set)
+        .queryExecution.explainString(fmt),
+      wants = Seq("PushedFilters: [In(term", "BroadcastNestedLoopJoin"),
+      rejects = Seq("documents.parquet"))
 
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
