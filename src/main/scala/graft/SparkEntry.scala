@@ -892,6 +892,54 @@ object SparkEntry {
       val idx = IndexCache.forDocuments(s, d)
       val pos = IndexCache.positionsForDocuments(s, d)
       graft.query.QueryString.simpleCountIndex(s, idx, pos).orderBy("query_id")
+    }),
+
+    // ---- rate / moving_percentiles / random_sampler /
+    //      variable_width_histogram aggs ----
+    "q_rate_agg" -> ((s, d) =>
+      AggsExt.rateAgg(TextOps.documents(s, d), RefQueries.set).orderBy("query_id", "week")),
+    "q_moving_percentiles" -> ((s, d) =>
+      AggsExt.movingPercentiles(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "day")),
+    "q_random_sampler" -> ((s, d) =>
+      AggsExt.randomSampler(TextOps.documents(s, d), RefQueries.set).orderBy("query_id")),
+    "q_var_width_histogram" -> ((s, d) =>
+      AggsExt.variableWidthHistogram(TextOps.documents(s, d), RefQueries.set)
+        .orderBy("query_id", "cluster")),
+    // ---- frequent_item_sets / categorize_text ----
+    "q_frequent_item_sets" -> ((s, d) =>
+      AggsExt.frequentItemSets(Geo.events(s, d)).orderBy("t1", "t2")),
+    "q_categorize_text" -> ((s, d) =>
+      AggsExt.categorizeText(TextOps.documents(s, d)).orderBy("signature")),
+    // ---- geo_distance rings aggregation ----
+    "q_geo_distance_agg" -> ((s, d) =>
+      Geo.distanceRings(Geo.events(s, d)).orderBy("center_id", "ring")),
+    // ---- kNN similarity threshold (ES 8 knn.similarity) ----
+    "q_ann_threshold" -> ((s, d) => {
+      val e = Similarity.embeddings(s, d)
+      Similarity.thresholdTopK(e, e.filter(col("vec_id") < 3), k = 10, minSim = 0.15)
+        .orderBy("query_id", "rank")
+    }),
+    // ---- _field_caps ----
+    "q_field_caps" -> ((s, d) =>
+      SearchOps.fieldCaps(TextOps.documents(s, d)).orderBy("field")),
+    // ---- _msearch: relational + index-served twins ----
+    "q_msearch" -> ((s, d) =>
+      SearchOps.msearch(TextOps.documents(s, d)).orderBy("request_id", "rank")),
+    "q_msearch_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.msearchTopK(s, idx).orderBy("request_id", "rank")
+    }),
+    // ---- _search/template (mustache render + ranked search) ----
+    "q_search_template" -> ((s, d) =>
+      SearchOps.searchTemplate(TextOps.documents(s, d)).orderBy("template_id", "rank")),
+    // ---- combined_fields (term-centric BM25F): twins ----
+    "q_combined_fields" -> ((s, d) =>
+      SearchOps.combinedFieldsTopK(TextOps.documents(s, d)).orderBy("query_id", "rank")),
+    "q_combined_fields_index" -> ((s, d) => {
+      val tIdx = IndexCache.forDocuments(s, d)
+      val sIdx = IndexCache.forField(s, d, "source")
+      IndexSearch.combinedFieldsTopK(s, tIdx, sIdx).orderBy("query_id", "rank")
     })
   )
 
@@ -3411,6 +3459,219 @@ object SparkEntry {
     "q_match_bool_prefix" -> matchBoolPrefixSql,
     "q_match_bool_prefix_index" -> matchBoolPrefixSql, // postings-decode path ≡ relational twin
     "q_simple_query_string" -> simpleQueryStringSql,
-    "q_simple_query_string_index" -> simpleQueryStringSql // postings+sidecar path ≡ relational twin
+    "q_simple_query_string_index" -> simpleQueryStringSql, // postings+sidecar path ≡ relational twin
+    "q_rate_agg" -> rateAggSql,
+    "q_moving_percentiles" -> movingPercentilesSql,
+    "q_random_sampler" -> randomSamplerSql,
+    "q_var_width_histogram" -> varWidthHistogramSql,
+    "q_frequent_item_sets" -> frequentItemSetsSql,
+    "q_categorize_text" -> categorizeTextSql,
+    "q_geo_distance_agg" -> geoDistanceAggSql,
+    "q_ann_threshold" -> annThresholdSql,
+    "q_field_caps" -> fieldCapsSql,
+    "q_msearch" -> msearchSql,
+    "q_msearch_index" -> msearchSql, // one WAND pass + per-request size ≡ relational twin
+    "q_search_template" -> searchTemplateSql,
+    "q_combined_fields" -> combinedFieldsSql,
+    "q_combined_fields_index" -> combinedFieldsSql // per-field index stats blend ≡ relational twin
   )
+
+  /** rate agg oracle: weekly buckets (7-day spans of the derived event
+    * day), exact integer numerators, per-day division in the final
+    * projection only.
+    */
+  private def rateAggSql: String =
+    s"""WITH $matchedCtes,
+       |h AS (SELECT m.query_id, CAST(((m.doc_id * 786413 % 5184000) // 86400) // 7 AS BIGINT) AS week,
+       |             count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars
+       |      FROM m JOIN documents d ON m.doc_id = d.doc_id GROUP BY 1, 2)
+       |SELECT query_id, week, n_docs, sum_chars,
+       |       round(n_docs::DOUBLE / 7.0 + 1e-9, 4) + 0.0 AS rate_docs,
+       |       round(sum_chars::DOUBLE / 7.0 + 1e-9, 4) + 0.0 AS rate_chars
+       |FROM h ORDER BY query_id, week""".stripMargin
+
+  /** moving_percentiles oracle: quantile_cont(0.5) over the trailing
+    * 3-bucket window — the same R-7 linear interpolation the Spark side
+    * computes explicitly over the sorted window.
+    */
+  private def movingPercentilesSql: String =
+    s"""WITH $matchedCtes,
+       |h AS (SELECT m.query_id, CAST((m.doc_id * 786413 % 5184000) // 86400 AS BIGINT) AS day, count(*)::BIGINT AS n_docs
+       |      FROM m GROUP BY 1, 2)
+       |SELECT query_id, day, n_docs,
+       |       round(quantile_cont(n_docs, 0.5) OVER (PARTITION BY query_id ORDER BY day ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0.0 AS mov_p50
+       |FROM h ORDER BY query_id, day""".stripMargin
+
+  private def randomSamplerSql: String =
+    s"""WITH $matchedCtes,
+       |s AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id
+       |      WHERE (m.doc_id * 2654435761) % 1000 < 300)
+       |SELECT query_id, count(*)::BIGINT AS n_sampled, sum(n_chars)::BIGINT AS sum_sampled,
+       |       round(count(*)::DOUBLE * 1000.0 / 300 + 1e-9, 4) + 0.0 AS est_total,
+       |       round(sum(n_chars)::DOUBLE / count(*) + 1e-9, 4) + 0.0 AS avg_sampled
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** variable_width_histogram oracle: equal-frequency ntile(4) clustering
+    * over (n_chars, doc_id) order — both engines follow the SQL-standard
+    * remainder-to-leading-groups rule, so cluster assignment is identical.
+    */
+  private def varWidthHistogramSql: String =
+    s"""WITH $matchedCtes,
+       |j AS (SELECT m.query_id, m.doc_id, d.n_chars FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |t AS (SELECT query_id, n_chars, ntile(4) OVER (PARTITION BY query_id ORDER BY n_chars ASC, doc_id ASC)::INT AS cluster FROM j)
+       |SELECT query_id, cluster, count(*)::BIGINT AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       |       round(sum(n_chars)::DOUBLE / count(*) + 1e-9, 4) + 0.0 AS avg_chars
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** frequent_item_sets oracle: size-2 itemsets over per-user event_type
+    * baskets with support ≥ ⌈0.2 · #baskets⌉.
+    */
+  private def frequentItemSetsSql: String =
+    """WITH it AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nb AS (SELECT CAST(ceil(count(DISTINCT user_id) * 0.2) AS BIGINT) AS minsup FROM it),
+      |p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*)::BIGINT AS support
+      |      FROM it a JOIN it b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2)
+      |SELECT t1, t2, support FROM p WHERE support >= (SELECT minsup FROM nb) ORDER BY 1, 2""".stripMargin
+
+  /** categorize_text oracle: leading-4-token signature with digit runs
+    * collapsed to '#', groups of ≥ 2 docs.
+    */
+  private def categorizeTextSql: String =
+    """WITH s AS (SELECT doc_id,
+      |  array_to_string(list_slice(list_filter(regexp_split_to_array(regexp_replace(lower(text), '[0-9]+', '#', 'g'), '[^a-z0-9#]+'), x -> x <> ''), 1, 4), ' ') AS signature
+      |  FROM documents)
+      |SELECT signature, count(*)::BIGINT AS n_docs, min(doc_id) AS example_doc
+      |FROM s GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
+  /** geo_distance rings oracle: ring membership by exact integer d²
+    * against the squared band edges (no sqrt), same centers as the Spark
+    * side.
+    */
+  private def geoDistanceAggSql: String = {
+    val centers = graft.ops.Geo.Centers
+      .map { case (id, la, lo, r) => s"('$id',$la,$lo,$r,${r / 2})" }.mkString(", ")
+    s"""WITH pts AS (SELECT ${graft.ops.Geo.CentiLatSql} AS clat, ${graft.ops.Geo.CentiLonSql} AS clon FROM events),
+       |c(center_id, c_lat, c_lon, radius, half) AS (VALUES $centers),
+       |d AS (SELECT c.center_id, (clat - c_lat) * (clat - c_lat) + (clon - c_lon) * (clon - c_lon) AS d2, c.half, c.radius
+       |      FROM pts CROSS JOIN c),
+       |r AS (SELECT center_id, CASE WHEN d2 < half * half THEN 0 WHEN d2 < radius * radius THEN 1 WHEN d2 < (radius * 2) * (radius * 2) THEN 2 END AS ring FROM d)
+       |SELECT center_id, ring::INT AS ring, count(*)::BIGINT AS n_events
+       |FROM r WHERE ring IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** kNN similarity-threshold oracle: the q_ann_cosine ranking with hits
+    * below the RAW-cosine cutoff dropped after ranking (ES truncation
+    * semantics; the compare runs on the unrounded double on both sides).
+    */
+  private def annThresholdSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |pairs AS (
+      |  SELECT q.query_id, ev.vec_id,
+      |    sum((ev.embedding[ev.i]::DOUBLE) * (q.qv[ev.i]::DOUBLE) ORDER BY ev.i) AS dp,
+      |    sum((ev.embedding[ev.i]::DOUBLE) * (ev.embedding[ev.i]::DOUBLE) ORDER BY ev.i) AS na,
+      |    sum((q.qv[ev.i]::DOUBLE) * (q.qv[ev.i]::DOUBLE) ORDER BY ev.i) AS nq
+      |  FROM ev CROSS JOIN q
+      |  WHERE ev.vec_id <> q.query_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, vec_id, dp / (sqrt(na) * sqrt(nq)) AS raw,
+      |         round(dp / (sqrt(na) * sqrt(nq)), 4) + 0.0 AS cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY dp / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC)::INT AS rank
+      |  FROM pairs)
+      |SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10 AND raw >= 0.15 ORDER BY query_id, rank""".stripMargin
+
+  /** _field_caps oracle: one capability row per documents column under the
+    * engine's mapping, with live non-null/distinct counts.
+    */
+  private def fieldCapsSql: String =
+    """WITH c AS (
+      |  SELECT 'doc_id' AS field, 'long' AS es_type, true AS searchable, true AS aggregatable, count(doc_id)::BIGINT AS n_values, count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents
+      |  UNION ALL SELECT 'text', 'text', true, false, count(text)::BIGINT, count(DISTINCT text)::BIGINT FROM documents
+      |  UNION ALL SELECT 'lang', 'keyword', true, true, count(lang)::BIGINT, count(DISTINCT lang)::BIGINT FROM documents
+      |  UNION ALL SELECT 'source', 'keyword', true, true, count(source)::BIGINT, count(DISTINCT source)::BIGINT FROM documents
+      |  UNION ALL SELECT 'n_chars', 'long', true, true, count(n_chars)::BIGINT, count(DISTINCT n_chars)::BIGINT FROM documents)
+      |SELECT * FROM c ORDER BY field""".stripMargin
+
+  /** _msearch oracle: the shared exact-BM25 ranking with a per-request
+    * size joined in — request term tables generated from the same
+    * tokenizer as the Spark side.
+    */
+  private def msearchSql: String = {
+    val reqs = graft.query.SearchOps.MsearchRequests
+    val vals = reqs.flatMap { case (rid, text, _) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => s"('$rid','$t')")
+    }.mkString(", ")
+    val ks = reqs.map { case (rid, _, k) => s"('$rid',$k)" }.mkString(", ")
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES $vals),
+       |ks(query_id, k) AS (VALUES $ks),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT r.query_id AS request_id, r.rank, r.doc_id, r.score FROM ranked r JOIN ks ON r.query_id = ks.query_id
+       |WHERE r.rank <= ks.k ORDER BY request_id, rank""".stripMargin
+  }
+
+  /** _search/template oracle: the RENDERED query terms are hand-pinned
+    * literals (st1 → "spark query scan", st2 → "hash join merge") so the
+    * oracle independently asserts what the mustache renderer must produce.
+    */
+  private def searchTemplateSql: String =
+    s"""WITH $TOK, $TF, $DL, $STATS,
+       |q(query_id, term) AS (VALUES ('st1','spark'),('st1','query'),('st1','scan'),('st2','hash'),('st2','join'),('st2','merge')),
+       |ks(query_id, k) AS (VALUES ('st1',5),('st2',4)),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |       * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / (stats.tot::DOUBLE / stats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dft ON q.term = dft.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT r.query_id AS template_id, r.rank, r.doc_id, r.score FROM ranked r JOIN ks ON r.query_id = ks.query_id
+       |WHERE r.rank <= ks.k ORDER BY template_id, rank""".stripMargin
+
+  /** combined_fields oracle: the text and source token streams union into
+    * ONE pseudo-field, then the standard exact-BM25 chain runs over the
+    * combined tf/doclen/df/avgdl — term-centric BM25F with equal weights.
+    */
+  private def combinedFieldsSql: String = {
+    val vals = graft.query.SearchOps.MultiQueries.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => s"('$qid','$t')")
+    }.mkString(", ")
+    s"""WITH $TOK,
+       |ctok AS (SELECT doc_id, term FROM tok
+       |         UNION ALL SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(source), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> ''),
+       |ctf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ctok GROUP BY 1, 2),
+       |cdl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM ctok GROUP BY 1),
+       |cstats AS (SELECT count(*)::BIGINT AS n, sum(doclen)::BIGINT AS tot FROM cdl),
+       |q(query_id, term) AS (VALUES $vals),
+       |cdft AS (SELECT term, count(*)::BIGINT AS df FROM ctf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, ctf.doc_id,
+       |    sum( ln(1 + (cstats.n - cdft.df + 0.5) / (cdft.df + 0.5))
+       |       * (ctf.tf * 2.2 / (ctf.tf + 1.2 * (0.25 + 0.75 * cdl.doclen / (cstats.tot::DOUBLE / cstats.n::DOUBLE))))
+       |       ORDER BY q.term ) AS score
+       |  FROM q JOIN ctf ON q.term = ctf.term
+       |  JOIN cdft ON q.term = cdft.term
+       |  JOIN cdl ON ctf.doc_id = cdl.doc_id
+       |  CROSS JOIN cstats
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank, doc_id, round(score, 4) AS score FROM scored)
+       |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -79,6 +79,36 @@ object Geo {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** geo_distance AGGREGATION (ES): ring buckets per center — events
+    * bucketed by distance band [0, r/2), [r/2, r), [r, 2r), counted per
+    * (center, ring). Same exact-integer squared-distance discipline as
+    * [[geoDistance]] (compare d² against the band edges squared, so no
+    * sqrt anywhere); centers broadcast, one narrow derivation + one
+    * aggregation, result cardinality = centers × 3 rings.
+    */
+  def distanceRings(ev: DataFrame,
+      centers: Seq[(String, Long, Long, Long)] = Centers): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val c = centers.map { case (id, la, lo, r) => (id, la, lo, r, r / 2) }
+      .toDF("center_id", "c_lat", "c_lon", "radius", "half")
+    val d2 = (col("clat") - col("c_lat")) * (col("clat") - col("c_lat")) +
+      (col("clon") - col("c_lon")) * (col("clon") - col("c_lon"))
+    val half2 = col("half") * col("half")
+    val r2 = col("radius") * col("radius")
+    val twice2 = (col("radius") * 2) * (col("radius") * 2)
+    ev.withColumn("clat", centiLat).withColumn("clon", centiLon)
+      .crossJoin(broadcast(c))
+      .withColumn("d2", d2)
+      .withColumn("ring",
+        when(col("d2") < half2, 0)
+          .when(col("d2") < r2, 1)
+          .when(col("d2") < twice2, 2))
+      .filter(col("ring").isNotNull)
+      .groupBy("center_id", "ring")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** geotile_grid (ES, `precision` = zoom): events bucketed into a
     * 2^z × 2^z lat/lon grid (the rectangular analog of ES's web-mercator
     * tiles — same floor-division shape, no mercator projection so the tile

@@ -60,6 +60,32 @@ object Similarity {
       predicate: Column, k: Int = 10): DataFrame =
     bruteForceTopK(corpus.filter(predicate), queries, k)
 
+  /** kNN with a minimum-similarity cutoff (the ES 8 `knn.similarity`
+    * request parameter): exact top-k, then hits below the raw-cosine
+    * threshold are dropped — ES applies the cutoff AFTER candidate
+    * collection, so a query may return fewer than k hits but never a
+    * below-threshold hit. The compare runs on the UNROUNDED cosine (the
+    * engine's doubles are bit-identical to the oracle's ordered-sum
+    * doubles, so the predicate cannot disagree across engines). Ranks keep
+    * their pre-filter values — ES truncates the ranked list rather than
+    * re-ranking the survivors.
+    */
+  def thresholdTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      minSim: Double = 0.15): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("qvec")) /
+          (norm(col("embedding")) * norm(col("qvec"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k && col("cosine_raw") >= minSim)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (round(col("cosine_raw"), 4) + lit(0.0)).as("cosine"))
+  }
+
   /** Collected centroid seeds: the C lowest vec_ids (deterministic). C is
     * small and bounded → a driver-side array is the broadcast-literal side
     * of every assignment.

@@ -659,4 +659,145 @@ object AggsExt {
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatch)
   }
+
+  /** The derived per-doc event day shared by the date-bucketed aggs
+    * (identical expression in the oracle SQL): a deterministic day index
+    * in [0, 60) spread by the doc_id hash.
+    */
+  private[query] def dayIndex: org.apache.spark.sql.Column =
+    expr("(doc_id * 786413 % 5184000) DIV 86400")
+
+  /** rate aggregation (ES `rate`, unit = day, inside a weekly
+    * date_histogram): matched docs bucketed by 7-day spans; per bucket the
+    * doc-count rate and the sum(field) rate per day. Exact integer
+    * numerators (count / sum of longs), one double division per output row
+    * — queries × weeks rows, no corpus-sized window.
+    */
+  def rateAgg(docs: DataFrame, queries: Seq[(String, String)],
+      field: String = "n_chars"): DataFrame =
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("week",
+        expr("CAST(((doc_id * 786413 % 5184000) DIV 86400) DIV 7 AS BIGINT)"))
+      .groupBy("query_id", "week")
+      .agg(count(lit(1)).as("n_docs"), sum(col(field)).as("sum_chars"))
+      .withColumn("rate_docs",
+        round(col("n_docs").cast("double") / 7.0 + lit(1.0e-9), 4) + lit(0.0))
+      .withColumn("rate_chars",
+        round(col("sum_chars").cast("double") / 7.0 + lit(1.0e-9), 4) + lit(0.0))
+
+  /** moving_percentiles pipeline agg (ES): the p50 of the daily doc-count
+    * histogram over a trailing 3-bucket window. The window holds ≤ 3
+    * values, so the percentile is computed EXACTLY (sorted window + linear
+    * interpolation — the same R-7 rule DuckDB's quantile_cont and ES's
+    * small-set TDigest reduce to). Window partitions are per query over
+    * day-bucket rows (≤ queries × 60 rows), never over raw docs.
+    */
+  def movingPercentiles(docs: DataFrame, queries: Seq[(String, String)]): DataFrame = {
+    val w3 = Window.partitionBy(col("query_id")).orderBy(col("day").asc)
+      .rowsBetween(-2, Window.currentRow)
+    val h = SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id")), Seq("doc_id"))
+      .withColumn("day", dayIndex.cast("bigint"))
+      .groupBy("query_id", "day")
+      .agg(count(lit(1)).as("n_docs"))
+    // exact p50 with linear interpolation over the ≤3 sorted window values:
+    // idx = 0.5·(n−1); v[⌊idx⌋] + frac·(v[⌊idx⌋+1] − v[⌊idx⌋])
+    val vs = sort_array(collect_list(col("n_docs")).over(w3))
+    val n = size(vs)
+    val idx = (n.cast("double") - lit(1.0)) * lit(0.5)
+    val lo = floor(idx).cast("int")
+    val frac = idx - lo.cast("double")
+    val vLo = element_at(vs, lo + 1).cast("double")
+    val vHi = element_at(vs, least(lo + 2, n)).cast("double")
+    h.withColumn("mov_p50",
+        round(vLo + frac * (vHi - vLo) + lit(1.0e-9), 4) + lit(0.0))
+      .select("query_id", "day", "n_docs", "mov_p50")
+  }
+
+  /** random_sampler aggregation (ES): aggregate over a deterministic
+    * probability-p subset of the match set and report the inverse-p
+    * corrected estimate next to the sampled exact stats. The "random" hash
+    * is a pinned multiplicative hash of doc_id (a real deployment seeds
+    * xxhash64; the pinned form keeps the oracle dialect-exact) — one narrow
+    * filter, no extra shuffle beyond the aggregation.
+    */
+  def randomSampler(docs: DataFrame, queries: Seq[(String, String)],
+      permil: Int = 300, field: String = "n_chars"): DataFrame = {
+    val keep = (col("doc_id") * lit(2654435761L)) % 1000 < permil
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .filter(keep)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_sampled"), sum(col(field)).as("sum_sampled"))
+      .withColumn("est_total",
+        round(col("n_sampled").cast("double") * 1000.0 / permil + lit(1.0e-9), 4) + lit(0.0))
+      .withColumn("avg_sampled",
+        round(col("sum_sampled").cast("double") / col("n_sampled") + lit(1.0e-9), 4) + lit(0.0))
+  }
+
+  /** variable_width_histogram (ES): k clusters of the matched docs' numeric
+    * field. ES's online clustering is shard-local and approximate; the
+    * deterministic semantics pinned here (and in the oracle) is
+    * equal-frequency clustering — ntile(k) over (field, doc_id) order —
+    * reported as per-cluster (min, max, avg, count). At 100 TB the window
+    * becomes the one narrow percentile-boundary pass + broadcast-boundary
+    * assignment (same outputs up to tie placement, which is exactly the
+    * slack ES's own approximation claims); the ntile twin is the exact
+    * small-scale contract.
+    */
+  def variableWidthHistogram(docs: DataFrame, queries: Seq[(String, String)],
+      k: Int = 4, field: String = "n_chars"): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(field).asc, col("doc_id").asc)
+    SearchOps.matchedSet(docs, queries)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+      .withColumn("cluster", ntile(k).over(w))
+      .groupBy("query_id", "cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(field)).as("min_chars"), max(col(field)).as("max_chars"),
+        sum(col(field)).as("sum_chars"))
+      .withColumn("avg_chars",
+        round(col("sum_chars").cast("double") / col("n_docs") + lit(1.0e-9), 4) + lit(0.0))
+      .drop("sum_chars")
+  }
+
+  /** frequent_item_sets aggregation (ES, size-2 itemsets): item pairs
+    * co-occurring in at least ⌈minSupFrac · baskets⌉ baskets. ES targets
+    * keyword "shopping basket" fields, so the harness basket is a user's
+    * distinct event_type set (events table) — bounded item vocabulary,
+    * basket-keyed aggregation. Scale shape: one distinct on (basket, item)
+    * uniform keys, a per-basket O(L²) pair expansion with L ≤ |item
+    * vocabulary|, one aggregation keyed by the pair; never an all-pairs
+    * join across baskets. Emits (t1, t2, support) with t1 < t2.
+    */
+  def frequentItemSets(events: DataFrame, minSupFrac: Double = 0.2): DataFrame = {
+    val items = events.select(col("user_id"), col("event_type")).distinct()
+    val nBaskets = items.select("user_id").distinct().count()
+    val minSup = math.ceil(nBaskets * minSupFrac).toLong
+    val a = items.toDF("uid", "t1")
+    val b = items.toDF("uid", "t2")
+    a.join(b, Seq("uid"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+  }
+
+  /** categorize_text aggregation (ES): groups documents by a token-pattern
+    * signature — the leading tokens of the lowercased text with digit runs
+    * collapsed to '#' (ES's categorization similarly tokenizes and weights
+    * away numerics). One narrow per-row derivation + one aggregation keyed
+    * by the signature; result cardinality = distinct patterns.
+    */
+  def categorizeText(docs: DataFrame, nTokens: Int = 4): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(lower(col("text")), "[0-9]+", "#"), "[^a-z0-9#]+"),
+      t => t =!= "")
+    docs
+      .withColumn("signature", concat_ws(" ", slice(toks, 1, nTokens)))
+      .groupBy("signature")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+  }
 }

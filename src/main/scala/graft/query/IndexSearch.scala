@@ -1008,6 +1008,109 @@ object IndexSearch {
     SearchOps.combineFields(t, s, tieBreaker, k)
   }
 
+  /** Per-(term, doc) term frequencies for the given terms, decoded straight
+    * from the postings blocks — a term-pushdown scan (PushedFilters reaches
+    * the parquet scan; no corpus access, no full-index decode). The raw
+    * material [[combinedFieldsTopK]] blends across fields.
+    */
+  def termDocTfs(spark: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (terms.isEmpty)
+      return spark.emptyDataset[(String, Long, Long)].toDF("term", "doc_id", "tf")
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(terms.distinct: _*))
+      .select(col("bucket"), col("term"), col("df"), col("cf"), col("maxTf"),
+        col("minDl"), col("bytes"), col("minDoc"), col("maxDoc"), col("blocks"))
+      .as[TermPostings]
+      .flatMap { tp =>
+        tp.blocks.iterator.flatMap { b =>
+          val ids = Blocks.decodeDocIds(b)
+          val tfs = Blocks.decodeTfs(b)
+          ids.indices.iterator.map(i => (tp.term, ids(i), tfs(i).toLong))
+        }
+      }
+      .toDF("term", "doc_id", "tf")
+  }
+
+  /** combined_fields (ES 8) served from the two per-field inverted indexes:
+    * the combined pseudo-field's statistics are RECONSTRUCTED from index
+    * data — per-(term, doc) tf is the sum of the fields' decoded postings
+    * tfs, per-doc combined length is the sum of the fields' stored doclens
+    * (docs sidecars), df counts docs with the term in ANY field (from the
+    * same decoded rows), and avgdl comes from the two stats tables' exact
+    * totalTokens. Scoring then mirrors the relational twin's expression
+    * exactly (same ordered-term fold), so the result is hash-equal to
+    * [[SearchOps.combinedFieldsTopK]] and the oracle. Everything is
+    * term-pruned: only the query terms' postings decode.
+    */
+  def combinedFieldsTopK(spark: SparkSession, textIndexDir: String,
+      srcIndexDir: String, queries: Seq[(String, String)] = SearchOps.MultiQueries,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, textIndexDir)
+    val q = queries.flatMap { case (qid, text) =>
+      an.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val allTerms = queries.flatMap { case (_, t) => an.tokenize(t) }.distinct
+
+    val tfComb = termDocTfs(spark, textIndexDir, allTerms)
+      .union(termDocTfs(spark, srcIndexDir, allTerms))
+      .groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+    val dfComb = tfComb.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val dlT = spark.read.parquet(s"$textIndexDir/docs")
+      .select(col("docId").as("doc_id"), col("doclen").cast("long").as("dl_t"))
+    val dlS = spark.read.parquet(s"$srcIndexDir/docs")
+      .select(col("docId").as("doc_id"), col("doclen").cast("long").as("dl_s"))
+    val dl = dlT.join(dlS, Seq("doc_id"))
+      .select(col("doc_id"), (col("dl_t") + col("dl_s")).as("doclen"))
+
+    val stT = QueryEngine.loadStats(spark, textIndexDir)
+    val stS = QueryEngine.loadStats(spark, srcIndexDir)
+    val n = stT.n
+    val avgdl = (stT.totalTokens + stS.totalTokens).toDouble / n.toDouble
+
+    // identical expression shape to Bm25Sql.termRowsFromTermTable (and the
+    // oracle's sum(ORDER BY term) operand) over the combined statistics
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val partial = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(avgdl)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    broadcast(q).join(tfComb, Seq("term"))
+      .join(broadcast(dfComb), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("addend", idf * partial)
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("addend")))),
+        lit(0.0), (acc, x) => acc + x.getField("addend")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** `_msearch` served from the inverted index: all requests ride ONE
+    * block-max WAND pass (topK already batches arbitrary query sets — the
+    * scatter amortization _msearch exists for), then each request keeps
+    * its own size. Rank- and score-identical to the relational twin by the
+    * engine's core WAND ≡ exhaustive contract.
+    */
+  def msearchTopK(spark: SparkSession, indexDir: String,
+      requests: Seq[(String, String, Int)] = SearchOps.MsearchRequests): DataFrame = {
+    import spark.implicits._
+    val ks = requests.map { case (rid, _, k) => (rid, k) }.toDF("query_id", "k")
+    val kMax = requests.map(_._3).max
+    QueryEngine.topK(spark, indexDir,
+        requests.map { case (rid, q, _) => (rid, q) }, kMax).toDF()
+      .select(col("queryId").as("query_id"), col("rank"), col("docId").as("doc_id"),
+        col("score"))
+      .join(broadcast(ks), Seq("query_id"))
+      .filter(col("rank") <= col("k"))
+      .select(col("query_id").as("request_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** ES `ids` query / document GET served from the index docs table — the
     * reference's Size-1 existence lookup (monstache.go:4019,4114-4116)
     * without Elasticsearch. The docs table is bucket-partitioned and

@@ -1773,4 +1773,143 @@ object SearchOps {
       .withColumnRenamed("cosine_raw", "vscore")
     linearFuse(text, knn, k, wText, wKnn)
   }
+
+  /** `_field_caps` (ES): per-field capability rows — the engine's mapping
+    * (string column named `text` → analyzed `text`; other strings →
+    * `keyword`; integral columns → `long`), whether the field is
+    * searchable/aggregatable under that mapping, plus live value counts
+    * (non-null and distinct) so the response reflects the actual table,
+    * not just static metadata. One aggregation pass computes every
+    * field's counts (no per-field scan); result cardinality = #columns.
+    */
+  def fieldCaps(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fields = docs.schema.fields.map { f =>
+      val esType = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          if (f.name == "text") "text" else "keyword"
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => "long"
+        case _ => "unsupported"
+      }
+      (f.name, esType, true, esType != "text")
+    }.toSeq
+    val caps = fields.toDF("field", "es_type", "searchable", "aggregatable")
+    val counts = docs.agg(
+      fields.flatMap { case (name, _, _, _) =>
+        Seq(count(col(name)).as(s"nv_$name"),
+          count_distinct(col(name)).as(s"nd_$name"))
+      }.head, fields.flatMap { case (name, _, _, _) =>
+        Seq(count(col(name)).as(s"nv_$name"),
+          count_distinct(col(name)).as(s"nd_$name"))
+      }.tail: _*)
+    val cRow = counts.head()
+    val countRows = fields.map { case (name, _, _, _) =>
+      (name, cRow.getAs[Long](s"nv_$name"), cRow.getAs[Long](s"nd_$name"))
+    }.toDF("field", "n_values", "n_distinct")
+    caps.join(countRows, Seq("field"))
+  }
+
+  /** `_msearch` request fixture: (request_id, query text, per-request size)
+    * — mixed sizes, one request with an absent term.
+    */
+  val MsearchRequests: Seq[(String, String, Int)] = Seq(
+    ("r1", "spark query", 5), ("r2", "hash join merge sort", 3),
+    ("r3", "missingzzz the", 7))
+
+  /** `_msearch` (ES): several independent search requests answered in one
+    * pass, each with its own size. All requests score in ONE shared
+    * scoredDocs plan (the per-request term tables union into a single
+    * broadcast — exactly why _msearch exists: amortize the scatter), then
+    * one window ranks and each request keeps its own k. Emits
+    * (request_id, rank, doc_id, score).
+    */
+  def msearch(docs: DataFrame,
+      requests: Seq[(String, String, Int)] = MsearchRequests): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ks = requests.map { case (rid, _, k) => (rid, k) }.toDF("query_id", "k")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, requests.map { case (rid, q, _) => (rid, q) })
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(ks), Seq("query_id"))
+      .filter(col("rank") <= col("k"))
+      .select(col("query_id").as("request_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Search-template fixtures: a mustache template, its parameter map, and
+    * the sizes — two render cases (param present; param defaulted through
+    * `{{^x}}` else-section).
+    */
+  val Templates: Seq[(String, String, Map[String, String], Int)] = Seq(
+    ("st1", "spark {{what}} {{how}}", Map("what" -> "query", "how" -> "scan"), 5),
+    ("st2", "hash {{op}}{{^op}}join{{/op}} merge", Map.empty, 4))
+
+  /** Renders the mustache subset ES search templates actually use for
+    * query strings: `{{var}}` substitution and the `{{^var}}default{{/var}}`
+    * inverted section (emitted only when `var` is absent). Deterministic
+    * pure-string work on the driver — the query TEXT is what's templated;
+    * execution is the ordinary search path.
+    */
+  def renderTemplate(template: String, params: Map[String, String]): String = {
+    val inverted = "\\{\\{\\^([a-zA-Z0-9_]+)\\}\\}(.*?)\\{\\{/\\1\\}\\}".r
+    val variable = "\\{\\{([a-zA-Z0-9_]+)\\}\\}".r
+    val afterInv = inverted.replaceAllIn(template, m =>
+      if (params.contains(m.group(1))) "" else java.util.regex.Matcher.quoteReplacement(m.group(2)))
+    variable.replaceAllIn(afterInv, m =>
+      java.util.regex.Matcher.quoteReplacement(params.getOrElse(m.group(1), "")))
+  }
+
+  /** `_search/template` (ES): render each template with its params, then
+    * run the rendered query through the standard ranked search. Emits
+    * (template_id, rank, doc_id, score) with per-template size.
+    */
+  def searchTemplate(docs: DataFrame,
+      templates: Seq[(String, String, Map[String, String], Int)] = Templates): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rendered = templates.map { case (tid, tpl, params, _) =>
+      (tid, renderTemplate(tpl, params))
+    }
+    val ks = templates.map { case (tid, _, _, k) => (tid, k) }.toDF("query_id", "k")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredDocs(docs, rendered)
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(ks), Seq("query_id"))
+      .filter(col("rank") <= col("k"))
+      .select(col("query_id").as("template_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** combined_fields (ES 8): term-centric multi-field BM25 — the fields
+    * are blended into ONE pseudo-field before scoring (Lucene's
+    * CombinedFieldQuery / simplified BM25F with equal weights): per (term,
+    * doc) the tf is the SUM of field tfs, the doc length is the SUM of
+    * field lengths, df counts docs where the term appears in ANY field,
+    * and avgdl averages the combined length. Contrast multi_match
+    * best_fields ([[multiMatchTopK]]), which scores each field as its own
+    * corpus and combines SCORES — combined_fields combines STATISTICS.
+    * The relational twin simply unions the two fields' token streams and
+    * reuses the exact-BM25 engine; the index twin
+    * ([[IndexSearch.combinedFieldsTopK]]) reconstructs the same combined
+    * statistics from the two per-field inverted indexes.
+    */
+  def combinedFieldsTopK(docs: DataFrame,
+      queries: Seq[(String, String)] = MultiQueries, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, text) =>
+      TextPrep.tokenize(text).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val combined = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id"), col("source").cast("string").as("text")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    Bm25Sql.scoredFromTermTable(combined, q, "query_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
 }
