@@ -940,7 +940,18 @@ object SparkEntry {
       val tIdx = IndexCache.forDocuments(s, d)
       val sIdx = IndexCache.forField(s, d, "source")
       IndexSearch.combinedFieldsTopK(s, tIdx, sIdx).orderBy("query_id", "rank")
-    })
+    }),
+    // ---- span_multi (prefix rewrite inside span_near): twins ----
+    "q_span_multi" -> ((s, d) =>
+      SearchOps.spanMultiCounts(TextOps.documents(s, d)).orderBy("probe_id", "doc_id")),
+    "q_span_multi_index" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      val pos = IndexCache.positionsForDocuments(s, d)
+      IndexSearch.spanMultiMatch(s, idx, pos).orderBy("probe_id", "doc_id")
+    }),
+    // ---- reverse_nested aggregation (parent counts per child bucket) ----
+    "q_reverse_nested" -> ((s, d) =>
+      Relational.reverseNested(s, d).orderBy("o_orderpriority"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3473,8 +3484,37 @@ object SparkEntry {
     "q_msearch_index" -> msearchSql, // one WAND pass + per-request size ≡ relational twin
     "q_search_template" -> searchTemplateSql,
     "q_combined_fields" -> combinedFieldsSql,
-    "q_combined_fields_index" -> combinedFieldsSql // per-field index stats blend ≡ relational twin
+    "q_combined_fields_index" -> combinedFieldsSql, // per-field index stats blend ≡ relational twin
+    "q_span_multi" -> spanMultiSql,
+    "q_span_multi_index" -> spanMultiSql, // dictionary expansion + sidecar ≡ relational twin
+    "q_reverse_nested" -> reverseNestedSql
   )
+
+  /** span_multi oracle: the span_near pair oracle with the first leg's
+    * equality widened to a prefix LIKE — generated from the probes.
+    */
+  private def spanMultiSql: String = {
+    val slop = 3
+    val probes = graft.query.SearchOps.SpanMultiProbes
+    val ctes = probes.map { case (pid, prefix, b) =>
+      s"""p_$pid AS (SELECT '$pid' AS probe_id, pa.doc_id, count(*)::BIGINT AS n_matches
+         |  FROM (SELECT doc_id, i FROM arridx WHERE toks[i] LIKE '$prefix%') pa
+         |  JOIN (SELECT doc_id, i AS j FROM arridx WHERE toks[i] = '$b') pb
+         |  ON pa.doc_id = pb.doc_id AND pb.j > pa.i AND pb.j <= pa.i + ${slop + 1}
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val union = probes.map { case (pid, _, _) => s"SELECT * FROM p_$pid" }
+      .mkString(" UNION ALL ")
+    s"""WITH arrs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |arridx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM arrs WHERE len(toks) >= 1),
+       |${ctes.mkString(",\n")}
+       |$union ORDER BY probe_id, doc_id""".stripMargin
+  }
+
+  /** reverse_nested oracle: child buckets with distinct-parent counts. */
+  private def reverseNestedSql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_children, count(DISTINCT o_custkey)::BIGINT AS n_parents
+      |FROM orders WHERE o_orderstatus = 'O' GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** rate agg oracle: weekly buckets (7-day spans of the derived event
     * day), exact integer numerators, per-day division in the final

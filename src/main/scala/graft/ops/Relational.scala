@@ -110,6 +110,22 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
   }
 
+  /** reverse_nested aggregation (ES): bucket the CHILD docs (orders, the
+    * "nested" side of the parent-join fixture), then step back up and count
+    * the distinct PARENT docs (customers) per bucket — the defining
+    * reverse_nested semantic: a bucket's parent count can be far below its
+    * child count when one parent holds many children. Open orders only
+    * (query context). One aggregation keyed by the bucket; child and parent
+    * counts come from the same pass (count vs count_distinct on the
+    * parent key) — no join back to the parent table needed for counting.
+    */
+  def reverseNested(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_children"),
+        count_distinct(col("o_custkey")).as("n_parents"))
+
   /** W3 — tombstone delete propagation: drop every order whose customer is
     * in the tombstone set (stateless delete via anti-join,
     * `monstache.go:4065-4147`). Tombstones: customers with negative balance.

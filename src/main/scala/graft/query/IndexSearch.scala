@@ -1008,6 +1008,36 @@ object IndexSearch {
     SearchOps.combineFields(t, s, tieBreaker, k)
   }
 
+  /** span_multi (ES: a multi-term query wrapped as a span) served from the
+    * index: the prefix expands against the terms DICTIONARY (a
+    * StartsWith-pruned scan of the term-sorted table — never the corpus,
+    * never the postings), then each expanded term rides the positional
+    * sidecar through the ordinary span_near cogroup and per-probe counts
+    * sum. Distinct expanded terms occupy disjoint positions, so the sum
+    * equals the relational prefix-leg count exactly. Expansion is
+    * O(terms matching prefix) driver-side — the same bounded term-cache
+    * discipline as the fuzzy/suggest paths.
+    */
+  def spanMultiMatch(spark: SparkSession, indexDir: String, posDir: String,
+      probes: Seq[(String, String, String)] = SearchOps.SpanMultiProbes,
+      slop: Int = 3): DataFrame = {
+    val prefixes = probes.map(_._2).distinct
+    val dict = spark.read.parquet(s"$indexDir/terms")
+      .filter(prefixes.map(p => col("term").startsWith(p)).reduce(_ || _))
+      .select("term").distinct().collect().map(_.getString(0))
+    val pairs = probes.flatMap { case (pid, prefix, b) =>
+      dict.filter(_.startsWith(prefix)).map(t => (pid, t, b))
+    }
+    if (pairs.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[(String, Long, Long)]
+        .toDF("probe_id", "doc_id", "n_matches")
+    }
+    graft.index.Positions.spanNearMatch(spark, posDir, pairs, slop)
+      .groupBy(col("pair_id").as("probe_id"), col("doc_id"))
+      .agg(sum("n_matches").as("n_matches"))
+  }
+
   /** Per-(term, doc) term frequencies for the given terms, decoded straight
     * from the postings blocks — a term-pushdown scan (PushedFilters reaches
     * the parquet scan; no corpus access, no full-index decode). The raw

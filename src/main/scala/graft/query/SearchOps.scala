@@ -917,6 +917,42 @@ object SearchOps {
       .filter(col("n_matches") > 0)
   }
 
+  /** span_multi probes (ES `span_multi` wrapping a `prefix` query inside
+    * `span_near`): (probe_id, prefix, fixed term). "s" expands to six
+    * vocabulary terms, "qu" to one, "zzz" to none (must yield no rows).
+    */
+  val SpanMultiProbes: Seq[(String, String, String)] = Seq(
+    ("sm1", "s", "join"), ("sm2", "qu", "scan"), ("sm3", "zzz", "spark"))
+
+  /** span_multi + span_near (ES): ordered position pairs (i, j) within the
+    * slop window where toks[i] matches the PREFIX (the multi-term rewrite)
+    * and toks[j] is the fixed term — [[spanNearCounts]] with the first
+    * leg's equality test widened to startsWith. Same narrow per-doc
+    * codegen'd fold, no shuffle before the final filter. Index twin:
+    * [[IndexSearch.spanMultiMatch]] expands the prefix against the terms
+    * dictionary and rides the positional sidecar.
+    */
+  def spanMultiCounts(docs: DataFrame,
+      probes: Seq[(String, String, String)] = SpanMultiProbes,
+      slop: Int = 3): DataFrame = {
+    val toks = col("toks")
+    val perProbe = probes.map { case (pid, prefix, b) =>
+      val pa = filter(sequence(lit(1), size(toks)),
+        i => element_at(toks, i).startsWith(lit(prefix)))
+      val pb = filter(sequence(lit(1), size(toks)), i => element_at(toks, i) === b)
+      val cnt = aggregate(pa, lit(0L), (acc, i) =>
+        acc + size(filter(pb, j => j > i && j <= i + slop + 1)).cast("long"))
+      struct(lit(pid).as("probe_id"),
+        when(size(toks) > 0, cnt).otherwise(lit(0L)).as("n_matches"))
+    }
+    docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), c => c =!= "").as("toks"))
+      .select(col("doc_id"), explode(array(perProbe: _*)).as("m"))
+      .select(col("m.probe_id").as("probe_id"), col("doc_id"), col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** intervals-query rules (ES `intervals`, `all_of` with `ordered: true`
     * and `max_gaps`): three terms that must appear in order within the gap
     * budget. Pinned counting semantic (oracle-checked): the number of

@@ -333,6 +333,29 @@ object PlanCheck {
       wants = Seq("PushedFilters: [In(term", "BroadcastNestedLoopJoin"),
       rejects = Seq("documents.parquet"))
 
+    // combined_fields: BOTH per-field postings scans must be term-pruned
+    // (In(term) pushdown), never a corpus scan — the blended statistics are
+    // reconstructed from index data alone
+    val cfSrcIdx = graft.IndexCache.forField(spark, sfDir, "source")
+    val cfPlan = graft.query.IndexSearch.combinedFieldsTopK(spark, idx, cfSrcIdx)
+      .queryExecution.explainString(fmt)
+    check("combined_fields via two term-pruned per-field indexes (no corpus)",
+      cfPlan,
+      wants = Seq("PushedFilters: [In(term"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+    // both field indexes' postings must appear (two distinct scans)
+    println("CHECK want both field indexes scanned: " +
+      (if (cfPlan.contains(idx) && cfPlan.contains(cfSrcIdx)) "OK" else "MISSING"))
+    // span_multi: prefix expansion walks the terms DICTIONARY
+    // (StartsWith-pruned), the match rides the positional sidecar — the
+    // corpus and the postings stay untouched
+    val smPosDir = graft.IndexCache.positionsForDocuments(spark, sfDir)
+    check("span_multi via dictionary expansion + positional sidecar (no corpus)",
+      graft.query.IndexSearch.spanMultiMatch(spark, idx, smPosDir)
+        .queryExecution.explainString(fmt),
+      wants = Seq("positions"),
+      rejects = Seq("documents.parquet", "CartesianProduct"))
+
     // 10. urlmap recrawl lookup: partition pruning on urange must reach the
     // scan (streaming append O(batch) contract)
     val tmpIdx = java.nio.file.Files.createTempDirectory("plancheck-idx").toString

@@ -150,6 +150,35 @@ class Dsl5Spec extends SparkSpecBase {
     }
   }
 
+  test("span_multi: sidecar twin == relational; single-expansion == span_near; empty prefix empty") {
+    val docs = TextOps.documents(spark, sf)
+    val rel = SearchOps.spanMultiCounts(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = IndexCache.forDocuments(spark, sf)
+    val pos = IndexCache.positionsForDocuments(spark, sf)
+    val srv = IndexSearch.spanMultiMatch(spark, idx, pos)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rel == srv)
+    // "qu" expands to exactly "query": sm2 must equal a plain span_near pair
+    val near = SearchOps.spanNearCounts(docs, Seq(("sm2", "query", "scan")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rel.filter(_._1 == "sm2") == near)
+    // "zzz" expands to nothing
+    assert(!rel.exists(_._1 == "sm3"))
+  }
+
+  test("reverse_nested: parent counts never exceed child counts, totals reconcile") {
+    val rows = graft.ops.Relational.reverseNested(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, children, parents) =>
+      assert(parents <= children && parents >= 1)
+    }
+    val openOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "O").count()
+    assert(rows.map(_._2).sum == openOrders)
+  }
+
   test("_field_caps: one row per column, text searchable but not aggregatable") {
     val docs = TextOps.documents(spark, sf)
     val rows = SearchOps.fieldCaps(docs).collect()
