@@ -951,7 +951,15 @@ object SparkEntry {
     }),
     // ---- reverse_nested aggregation (parent counts per child bucket) ----
     "q_reverse_nested" -> ((s, d) =>
-      Relational.reverseNested(s, d).orderBy("o_orderpriority"))
+      Relational.reverseNested(s, d).orderBy("o_orderpriority")),
+    // ---- has_child + inner_hits (top children inlined per parent) ----
+    "q_inner_hits" -> ((s, d) =>
+      Relational.innerHits(s, d).orderBy("c_custkey", "child_rank")),
+    // ---- _validate/query (analyze + dictionary rewrite report) ----
+    "q_validate_query" -> ((s, d) => {
+      val idx = IndexCache.forDocuments(s, d)
+      IndexSearch.validateQuery(s, idx).orderBy("query_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -3487,8 +3495,45 @@ object SparkEntry {
     "q_combined_fields_index" -> combinedFieldsSql, // per-field index stats blend ≡ relational twin
     "q_span_multi" -> spanMultiSql,
     "q_span_multi_index" -> spanMultiSql, // dictionary expansion + sidecar ≡ relational twin
-    "q_reverse_nested" -> reverseNestedSql
+    "q_reverse_nested" -> reverseNestedSql,
+    "q_inner_hits" -> innerHitsSql,
+    "q_validate_query" -> validateQuerySql
   )
+
+  /** inner_hits oracle: bounded-children parents with their top-2 open
+    * orders inlined (per-parent window keyed by custkey).
+    */
+  private def innerHitsSql: String =
+    """WITH par AS (SELECT o_custkey, count(*)::BIGINT AS n_children FROM orders
+      |             WHERE o_orderstatus = 'O' GROUP BY 1 HAVING count(*) BETWEEN 2 AND 5),
+      |ch AS (SELECT o.o_custkey AS c_custkey, p.n_children,
+      |              row_number() OVER (PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)::INT AS child_rank,
+      |              o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice
+      |       FROM orders o JOIN par p ON o.o_custkey = p.o_custkey WHERE o.o_orderstatus = 'O')
+      |SELECT c_custkey, n_children, child_rank, o_orderkey, o_totalprice
+      |FROM ch WHERE child_rank <= 2 ORDER BY c_custkey, child_rank""".stripMargin
+
+  /** _validate/query oracle: analyzed arity from the pinned tokenizer
+    * (generated in lockstep with the probes) and known-term counts from the
+    * corpus dictionary — which the index terms table must equal.
+    */
+  private def validateQuerySql: String = {
+    val probes = graft.query.IndexSearch.ValidateProbes
+    val qVals = probes.flatMap { case (qid, text) =>
+      graft.textprep.TextPrep.tokenize(text).distinct.map(t => s"('$qid','$t')")
+    }.mkString(", ")
+    val arity = probes.map { case (qid, text) =>
+      val n = graft.textprep.TextPrep.tokenize(text).distinct.length
+      s"('$qid',$n,${n > 0})"
+    }.mkString(", ")
+    s"""WITH $TOK,
+       |dict AS (SELECT DISTINCT term FROM tok),
+       |q(query_id, term) AS (VALUES $qVals),
+       |arity(query_id, n_terms, valid) AS (VALUES $arity),
+       |kn AS (SELECT q.query_id, count(*)::BIGINT AS n_known FROM q JOIN dict USING (term) GROUP BY 1)
+       |SELECT a.query_id, a.valid, a.n_terms::BIGINT AS n_terms, coalesce(kn.n_known, 0)::BIGINT AS n_known
+       |FROM arity a LEFT JOIN kn USING (query_id) ORDER BY 1""".stripMargin
+  }
 
   /** span_multi oracle: the span_near pair oracle with the first leg's
     * equality widened to a prefix LIKE — generated from the probes.

@@ -110,6 +110,30 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
   }
 
+  /** inner_hits on the parent-join (ES `has_child` + `inner_hits`): the
+    * matched PARENTS come back with their top-N matching children inlined.
+    * Parents = [[hasChild]]'s bounded-children customers; inner hits = each
+    * parent's top-2 open orders by totalprice (orderkey tie-break), emitted
+    * flattened one row per (parent, child_rank). The per-parent window is
+    * keyed by custkey — bounded fan-in per key (an ES parent's children
+    * live in one shard the same way), never a global window.
+    */
+  def innerHits(spark: SparkSession, sfDir: String, perParent: Int = 2,
+      minChildren: Int = 2, maxChildren: Int = 5): DataFrame = {
+    val parents = hasChild(spark, sfDir, minChildren, maxChildren)
+      .select(col("c_custkey"), col("n_children"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .join(broadcast(parents), col("o_custkey") === col("c_custkey"))
+      .withColumn("child_rank", row_number().over(w))
+      .filter(col("child_rank") <= perParent)
+      .select(col("c_custkey"), col("n_children"), col("child_rank"),
+        col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
   /** reverse_nested aggregation (ES): bucket the CHILD docs (orders, the
     * "nested" side of the parent-join fixture), then step back up and count
     * the distinct PARENT docs (customers) per bucket — the defining

@@ -1008,6 +1008,43 @@ object IndexSearch {
     SearchOps.combineFields(t, s, tieBreaker, k)
   }
 
+  /** `_validate/query` probes: well-formed, single-term, all-unknown-terms,
+    * and symbols-only (analyzes to nothing → invalid).
+    */
+  val ValidateProbes: Seq[(String, String)] = Seq(
+    ("v1", "spark query"), ("v2", "the"),
+    ("v3", "missingzzz nosuchterm"), ("v4", "!!! ??"))
+
+  /** `_validate/query` with `rewrite` (ES): analyze each query, report
+    * whether it parses to at least one term (`valid`), its analyzed arity,
+    * and how many of its terms the index KNOWS (the rewrite explanation's
+    * term-exists half — ES reports the rewritten query per shard). Served
+    * entirely from the terms dictionary with In(term) pushdown; the corpus
+    * is never touched, and a query of only unknown terms stays valid but
+    * rewrites to zero clauses, exactly ES's MatchNoDocs rewrite.
+    */
+  def validateQuery(spark: SparkSession, indexDir: String,
+      probes: Seq[(String, String)] = ValidateProbes): DataFrame = {
+    import spark.implicits._
+    val an = graft.index.IndexBuilder.analyzerOf(spark, indexDir)
+    val qTerms = probes.map { case (qid, text) => (qid, an.tokenize(text).distinct) }
+    val q = qTerms.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }.toDF("query_id", "term")
+    val arity = qTerms.map { case (qid, ts) => (qid, ts.length.toLong, ts.nonEmpty) }
+      .toDF("query_id", "n_terms", "valid")
+    val allTerms = qTerms.flatMap(_._2).distinct
+    val known =
+      if (allTerms.isEmpty)
+        spark.emptyDataset[(String, Long)].toDF("query_id", "n_known")
+      else spark.read.parquet(s"$indexDir/terms")
+        .filter(col("term").isin(allTerms: _*))
+        .select("term").distinct()
+        .join(broadcast(q), Seq("term"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_known"))
+    arity.join(known, Seq("query_id"), "left")
+      .select(col("query_id"), col("valid"), col("n_terms"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+  }
+
   /** span_multi (ES: a multi-term query wrapped as a span) served from the
     * index: the prefix expands against the terms DICTIONARY (a
     * StartsWith-pruned scan of the term-sorted table — never the corpus,

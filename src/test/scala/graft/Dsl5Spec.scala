@@ -179,6 +179,26 @@ class Dsl5Spec extends SparkSpecBase {
     assert(rows.map(_._2).sum == openOrders)
   }
 
+  test("_validate/query: symbols-only invalid; unknown-terms valid but zero rewrite clauses") {
+    val idx = IndexCache.forDocuments(spark, sf)
+    val m = IndexSearch.validateQuery(spark, idx).collect()
+      .map(r => (r.getString(0), (r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m("v4") == ((false, 0L, 0L)))       // analyzes to nothing
+    assert(m("v3") == ((true, 2L, 0L)))        // parses, rewrites to MatchNoDocs
+    assert(m("v1")._1 && m("v1")._2 == m("v1")._3) // every term known
+  }
+
+  test("inner_hits: each has_child parent carries min(2, n_children) ranked children") {
+    val parents = graft.ops.Relational.hasChild(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = graft.ops.Relational.innerHits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits.map(_._1).toSet == parents.keySet)
+    hits.groupBy(_._1).foreach { case (ck, hs) =>
+      assert(hs.map(_._3).sorted.sameElements(1 to math.min(2, parents(ck).toInt)))
+    }
+  }
+
   test("_field_caps: one row per column, text searchable but not aggregatable") {
     val docs = TextOps.documents(spark, sf)
     val rows = SearchOps.fieldCaps(docs).collect()
