@@ -64,9 +64,12 @@ object Blocks {
     gaps(0) = 0L
     var i = 1
     while (i < sorted.length) { gaps(i) = sorted(i) - prev; prev = sorted(i); i += 1 }
-    val vb = VarByte.encodeDeltas(sorted, sorted(0))
-    val pf = PFor.encode(gaps)
-    val (tag, payload) = if (pf.length < vb.length) (1, pf) else (0, vb)
+    // size both codecs WITHOUT encoding (exact lengths), then encode only
+    // the winner — same `pf < vb` pick, same bytes, half the encode work
+    val vbLen = VarByte.deltasLen(sorted, sorted(0))
+    val pfLen = PFor.encodedLen(gaps)
+    val (tag, payload) =
+      if (pfLen < vbLen) (1, PFor.encode(gaps)) else (0, VarByte.encodeDeltas(sorted, sorted(0)))
     val outArr = new Array[Byte](payload.length + 1)
     outArr(0) = tag.toByte
     System.arraycopy(payload, 0, outArr, 1, payload.length)

@@ -21,26 +21,65 @@ object VarByte {
     out.write(x.toInt)
   }
 
-  /** Encode gaps of a strictly-increasing docId sequence (first value encoded
-    * as delta from `base`).
+  /** Encoded length of one non-negative value: ceil(bits/7) bytes. */
+  @inline def lenLong(v: Long): Int =
+    (70 - java.lang.Long.numberOfLeadingZeros(v | 1L)) / 7
+
+  /** Write one value at `pos`, return the new position. Same bytes as
+    * [[encodeLong]]; direct array fill (the hot encode path — BAOS's
+    * synchronized per-byte writes measured as a real cost in the SPIMI
+    * codec loop).
     */
-  def encodeDeltas(sorted: Array[Long], base: Long): Array[Byte] = {
-    val out  = new ByteArrayOutputStream(sorted.length * 2)
+  @inline def writeLong(v: Long, out: Array[Byte], pos0: Int): Int = {
+    var x   = v
+    var pos = pos0
+    while (x >= 0x80L) {
+      out(pos) = ((x & 0x7fL) | 0x80L).toByte
+      pos += 1
+      x >>>= 7
+    }
+    out(pos) = x.toByte
+    pos + 1
+  }
+
+  /** Exact byte length [[encodeDeltas]] would produce. */
+  def deltasLen(sorted: Array[Long], base: Long): Int = {
+    var size = 0
     var prev = base
     var i    = 0
     while (i < sorted.length) {
-      encodeLong(sorted(i) - prev, out)
+      size += lenLong(sorted(i) - prev)
       prev = sorted(i)
       i += 1
     }
-    out.toByteArray
+    size
+  }
+
+  /** Encode gaps of a strictly-increasing docId sequence (first value encoded
+    * as delta from `base`). Byte-identical to the historical BAOS path.
+    */
+  def encodeDeltas(sorted: Array[Long], base: Long): Array[Byte] = {
+    val out  = new Array[Byte](deltasLen(sorted, base))
+    var pos  = 0
+    var prev = base
+    var i    = 0
+    while (i < sorted.length) {
+      pos = writeLong(sorted(i) - prev, out, pos)
+      prev = sorted(i)
+      i += 1
+    }
+    out
   }
 
   def encodeInts(vals: Array[Int]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(vals.length * 2)
-    var i   = 0
-    while (i < vals.length) { encodeLong(vals(i).toLong, out); i += 1 }
-    out.toByteArray
+    var size = 0
+    var i    = 0
+    while (i < vals.length) { size += lenLong(vals(i).toLong); i += 1 }
+    val out = new Array[Byte](size)
+    var pos = 0
+    i = 0
+    while (i < vals.length) { pos = writeLong(vals(i).toLong, out, pos); i += 1 }
+    out
   }
 
   def decodeDeltas(bytes: Array[Byte], base: Long, count: Int): Array[Long] = {

@@ -78,15 +78,35 @@ object Corpus {
     spark.range(start, end, 1L, parts).map(i => syntheticPage(i, seed))
   }
 
+  /** Cumulative Zipf(1.1) CDF per n, computed ONCE with the exact FP op
+    * order the old per-call loop used (norm as a left-fold sum, then
+    * acc += 1/pow(k+1,1.1)/norm) so every draw is bit-identical to the
+    * historical corpus. The per-call recompute was ~80% of syntheticPage
+    * cost (HotProf: 55 µs/doc → ~2k math.pow calls per doc), paid by every
+    * staging write and every warm-up build of the bench.
+    */
+  private val zipfCumCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def zipfCum(n: Int): Array[Double] =
+    zipfCumCache.computeIfAbsent(n, { nn =>
+      val norm = (0 until nn).map(k => 1.0 / math.pow(k + 1, 1.1)).sum
+      val cum  = new Array[Double](nn)
+      var acc  = 0.0
+      var k    = 0
+      while (k < nn) {
+        acc += 1.0 / math.pow(k + 1, 1.1) / norm
+        cum(k) = acc
+        k += 1
+      }
+      cum
+    })
+
   private def zipfIdx(rnd: scala.util.Random, n: Int): Int = {
     // inverse-CDF-ish skewed pick: P(k) ∝ 1/(k+1)^1.1
-    val u = rnd.nextDouble()
-    var acc = 0.0
-    val norm = (0 until n).map(k => 1.0 / math.pow(k + 1, 1.1)).sum
-    var k = 0
+    val u   = rnd.nextDouble()
+    val cum = zipfCum(n)
+    var k   = 0
     while (k < n - 1) {
-      acc += 1.0 / math.pow(k + 1, 1.1) / norm
-      if (u < acc) return k
+      if (u < cum(k)) return k
       k += 1
     }
     n - 1

@@ -272,6 +272,13 @@ object IndexBuilder {
         .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
         .as[(Long, Int, String, Long, String)]
       val an = TextPrep.Analyzer(cfg.analyzer)
+      // `terms` is staged as ONE space-joined string, not array<string>:
+      // tokens can never contain whitespace (both analyzers split on it),
+      // and the flat form measured ~10 s cheaper to parquet-encode plus
+      // ~8 s cheaper to read+shuffle per 1M docs at 2 cores (StageProf
+      // c/d + e/f A/B — parquet's per-element nested-column overhead on
+      // both sides). Consumers split on ' ' (guarded by doclen=0 for
+      // token-less docs).
       val staged =
         if (cfg.positions)
           // positions ride the same single tokenize pass as an extra
@@ -280,15 +287,16 @@ object IndexBuilder {
             val tps = an.termFreqsWithPositions(text)
             var dl = 0
             tps.foreach(dl += _._2)
-            (docId, bucket, url, version, dl, tps.map(_._1), tps.map(_._2),
-              tps.map(_._3.toSeq).toSeq)
+            (docId, bucket, url, version, dl, joinTerms(tps.length, i => tps(i)._1),
+              tps.map(_._2), tps.map(_._3.toSeq).toSeq)
           }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs", "poss")
         else
           base.map { case (docId, bucket, url, version, text) =>
             val tfs = an.termFreqs(text)
             var dl = 0
             tfs.foreach(dl += _._2)
-            (docId, bucket, url, version, dl, tfs.map(_._1), tfs.map(_._2))
+            (docId, bucket, url, version, dl, joinTerms(tfs.length, i => tfs(i)._1),
+              tfs.map(_._2))
           }.toDF("docId", "bucket", "url", "version", "doclen", "terms", "tfs")
       staged.write.mode(SaveMode.Overwrite)
         .option("compression", cfg.stagedCodec)
@@ -376,10 +384,12 @@ object IndexBuilder {
         // byte-coalescing the shuffle and serializing this CPU-bound stage.
         .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .sortWithinPartitions("bucket", "docId")
-        .as[(Int, Long, Int, Array[String], Array[Int])]
+        .as[(Int, Long, Int, String, Array[Int])]
       phase(s"postings-group-$g") {
         fatRows
-          .mapPartitions(spimiBlockify)(
+          .mapPartitions(it => spimiBlockify(it.map { case (b, d, dl, ts, tf) =>
+            (b, d, dl, splitTerms(ts), tf)
+          }))(
             org.apache.spark.sql.Encoders.product[TermPostings])
           .toDF()
           .withColumn("pbucket", col("bucket"))
@@ -417,7 +427,12 @@ object IndexBuilder {
       // exploded tuples (~10-20x the shuffle bytes at web doclens); the
       // term-major sort the phrase reader wants happens partition-locally
       spark.read.parquet(stage)
-        .select(col("bucket"), col("docId"), col("terms"), col("poss"))
+        .select(col("bucket"), col("docId"), col("doclen"), col("terms"), col("poss"))
+        // recover the array form from the flat staged string (doclen=0
+        // guards the token-less doc: split("") would yield [""], not [])
+        .withColumn("terms", when(col("doclen") === 0,
+          array().cast("array<string>")).otherwise(split(col("terms"), " ")))
+        .drop("doclen")
         .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .select(col("bucket"), col("docId"),
           explode(arrays_zip(col("terms"), col("poss"))).as("tp"))
@@ -445,7 +460,11 @@ object IndexBuilder {
       // same order the terms dictionary uses), so NO post-explode external
       // sort exists in this plan at all
       spark.read.parquet(stage)
-        .select(col("bucket"), col("docId"), col("terms"), col("tfs"))
+        .select(col("bucket"), col("docId"), col("doclen"), col("terms"), col("tfs"))
+        // flat staged string → array (see writePositions' doclen=0 guard)
+        .withColumn("terms", when(col("doclen") === 0,
+          array().cast("array<string>")).otherwise(split(col("terms"), " ")))
+        .drop("doclen")
         .repartition(cfg.numBuckets, bucketShuffleKey(cfg.numBuckets))
         .sortWithinPartitions("bucket", "docId")
         .select(col("bucket"), col("docId"),
@@ -663,6 +682,23 @@ object IndexBuilder {
   def bm25PartialCol(tf: org.apache.spark.sql.Column, doclen: org.apache.spark.sql.Column, avgdl: Double): org.apache.spark.sql.Column =
     tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * doclen / lit(avgdl)))
 
+  /** Space-join `n` terms (staged-table flat form — see stage-tokenize). */
+  private def joinTerms(n: Int, term: Int => String): String = {
+    if (n == 0) return ""
+    val sb = new java.lang.StringBuilder(n << 3)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(term(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[joinTerms]]; "" (a token-less doc) → empty array. */
+  private[graft] def splitTerms(ts: String): Array[String] =
+    if (ts.isEmpty) Array.empty[String] else ts.split(' ')
+
   /** Growable parallel posting arrays for one (bucket, term) during SPIMI
     * inversion — primitive arrays, no per-posting boxing.
     */
@@ -706,7 +742,7 @@ object IndexBuilder {
     * (docId-range sharding), so per-bucket size is an operator-controlled
     * constant at any scale.
     */
-  private[index] def spimiBlockify(
+  private[graft] def spimiBlockify(
       it: Iterator[(Int, Long, Int, Array[String], Array[Int])]): Iterator[TermPostings] =
     new Iterator[TermPostings] {
       private val buf = it.buffered

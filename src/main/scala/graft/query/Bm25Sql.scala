@@ -78,25 +78,34 @@ object Bm25Sql {
   def termRowsFromTermTable(docs: DataFrame, q: DataFrame): DataFrame = {
     val tok = TextOps.tokens(docs)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("doclen"))
+    // doclen = Σ tf per doc — exactly the old count over raw tokens, but
+    // derived from the SAME tf subtree, so the scan+tokenize+first-agg
+    // exchange is planned once and ReusedExchange serves every consumer
+    // (the old tok-based doclen agg forced a second full tokenize pass).
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("doclen"))
 
-    val st = dl.agg(count(lit(1)).as("n"), sum("doclen").as("tot")).head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
+    // corpus stats as a 1-row broadcast instead of an eager .head(): the
+    // old scalar collect ran a third full tokenize pass per invocation
+    // before the query itself even started. Same doubles: long/long counts,
+    // one IEEE double division, identical operand order.
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum("doclen").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
 
     val dft = tf.join(q.select("term").distinct(), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
-    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val partial = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / lit(avgdl)))
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("doclen") / col("avgdl")))
 
     val addend =
       if (q.columns.contains("boost")) idf * partial * col("boost") else idf * partial
     q.join(tf, Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
       .withColumn("idf", idf)
       .withColumn("addend", addend)
+      .drop("n", "avgdl")
   }
 }

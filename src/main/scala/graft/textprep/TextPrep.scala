@@ -140,8 +140,11 @@ object TextPrep {
   sealed trait Analyzer extends Serializable {
     def name: String
     def tokenize(text: String): Array[String]
-    final def termFreqs(text: String): Array[(String, Int)] =
-      TextPrep.termFreqsOf(tokenize(text))
+    /** Fused tokenize+aggregate (no per-token String materialization) —
+      * output identical to `termFreqsOf(tokenize(text))`: same pairs, same
+      * first-occurrence order. The build's hottest per-doc call.
+      */
+    def termFreqs(text: String): Array[(String, Int)]
     final def termFreqsWithPositions(text: String): Array[(String, Int, Array[Int])] =
       TextPrep.termFreqsWithPositionsOf(tokenize(text))
     final def doclen(text: String): Int = tokenize(text).length
@@ -158,11 +161,15 @@ object TextPrep {
     case object Ascii extends Analyzer {
       val name = "ascii"
       def tokenize(text: String): Array[String] = TextPrep.tokenize(text)
+      def termFreqs(text: String): Array[(String, Int)] =
+        TextPrep.termFreqsScan(text, unicode = false)
     }
 
     case object Unicode extends Analyzer {
       val name = "unicode"
       def tokenize(text: String): Array[String] = TextPrep.tokenizeUnicode(text)
+      def termFreqs(text: String): Array[(String, Int)] =
+        TextPrep.termFreqsScan(text, unicode = true)
     }
   }
 
@@ -242,13 +249,119 @@ object TextPrep {
     * flatMap, so the build's first shuffle already carries (term, docId, tf)
     * rows instead of raw token streams (map-side pre-aggregation).
     */
-  def termFreqs(text: String): Array[(String, Int)] = termFreqsOf(tokenize(text))
+  def termFreqs(text: String): Array[(String, Int)] = termFreqsScan(text, unicode = false)
 
-  private[textprep] def termFreqsOf(toks: Array[String]): Array[(String, Int)] = {
-    val m = mutable.LinkedHashMap.empty[String, Int]
+  /** Fused tokenize + term-frequency aggregation over the lowered text.
+    * Tokens are maximal contiguous runs of word chars, so each token is a
+    * [start, end) region of `lower`; the open-addressing probe hashes and
+    * compares REGIONS, and a String materializes only on a term's FIRST
+    * occurrence (~40% of token occurrences on web text). Output is
+    * identical to `termFreqsOf(tokenize(text))`: same (term, count) pairs
+    * in first-occurrence order. Region hash = String.hashCode of the
+    * substring (h*31+c over its chars).
+    */
+  private[textprep] def termFreqsScan(text: String, unicode: Boolean): Array[(String, Int)] = {
+    val lower = text.toLowerCase(Locale.ROOT)
+    val len   = lower.length
+    // pass 1: token boundaries + region hashes (no allocation per token
+    // beyond the three primitive arrays)
+    val maxTok = (len >> 1) + 1
+    val starts = new Array[Int](maxTok)
+    val ends   = new Array[Int](maxTok)
+    val hashes = new Array[Int](maxTok)
+    var n = 0
     var i = 0
-    while (i < toks.length) { m.update(toks(i), m.getOrElse(toks(i), 0) + 1); i += 1 }
-    m.toArray
+    var tokStart = -1
+    var h = 0
+    while (i < len) {
+      val c = lower.charAt(i)
+      var word  = false
+      var width = 1
+      if (c < 0x80 || !unicode) {
+        word = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      } else {
+        val cp = lower.codePointAt(i)
+        word = isWordCp(cp)
+        width = Character.charCount(cp)
+      }
+      if (word) {
+        if (tokStart < 0) { tokStart = i; h = 0 }
+        h = h * 31 + c
+        if (width == 2) h = h * 31 + lower.charAt(i + 1)
+      } else if (tokStart >= 0) {
+        starts(n) = tokStart; ends(n) = i; hashes(n) = h; n += 1
+        tokStart = -1
+      }
+      i += width
+    }
+    if (tokStart >= 0) { starts(n) = tokStart; ends(n) = len; hashes(n) = h; n += 1 }
+    if (n == 0) return Array.empty
+    // pass 2: open-addressing aggregation over regions
+    var cap = 8
+    while (cap < (n << 1)) cap <<= 1
+    val mask    = cap - 1
+    val slotKey = new Array[String](cap)
+    val slotIdx = new Array[Int](cap)
+    val terms   = new Array[String](n)
+    val counts  = new Array[Int](n)
+    var distinct = 0
+    var t = 0
+    while (t < n) {
+      val st = starts(t)
+      val tl = ends(t) - st
+      var s = hashes(t) & mask
+      var k = slotKey(s)
+      while (k != null && !(k.length == tl && lower.regionMatches(st, k, 0, tl))) {
+        s = (s + 1) & mask
+        k = slotKey(s)
+      }
+      if (k == null) {
+        slotKey(s) = lower.substring(st, st + tl)
+        slotIdx(s) = distinct
+        terms(distinct) = slotKey(s); counts(distinct) = 1; distinct += 1
+      } else counts(slotIdx(s)) += 1
+      t += 1
+    }
+    val out = new Array[(String, Int)](distinct)
+    t = 0
+    while (t < distinct) { out(t) = (terms(t), counts(t)); t += 1 }
+    out
+  }
+
+  /** Open-addressing (term → count) aggregation with first-occurrence
+    * order, primitive parallel arrays — this is the build's hottest loop
+    * (every token of every doc passes through it), and the boxed
+    * LinkedHashMap it replaces measured ~60% of termFreqs wall (HotProf:
+    * 14.6 of 25.4 µs/doc single-thread). Output is identical: same
+    * (term, count) pairs, same first-occurrence order.
+    */
+  private[graft] def termFreqsOf(toks: Array[String]): Array[(String, Int)] = {
+    val n = toks.length
+    if (n == 0) return Array.empty
+    var cap = 8
+    while (cap < (n << 1)) cap <<= 1
+    val mask    = cap - 1
+    val slotKey = new Array[String](cap)
+    val slotIdx = new Array[Int](cap)
+    val terms   = new Array[String](n)
+    val counts  = new Array[Int](n)
+    var distinct = 0
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      var s = t.hashCode & mask
+      var k = slotKey(s)
+      while (k != null && !(k.eq(t) || k == t)) { s = (s + 1) & mask; k = slotKey(s) }
+      if (k == null) {
+        slotKey(s) = t; slotIdx(s) = distinct
+        terms(distinct) = t; counts(distinct) = 1; distinct += 1
+      } else counts(slotIdx(s)) += 1
+      i += 1
+    }
+    val out = new Array[(String, Int)](distinct)
+    i = 0
+    while (i < distinct) { out(i) = (terms(i), counts(i)); i += 1 }
+    out
   }
 
   def doclen(text: String): Int = tokenize(text).length
@@ -263,12 +376,46 @@ object TextPrep {
 
   private[textprep] def termFreqsWithPositionsOf(
       toks: Array[String]): Array[(String, Int, Array[Int])] = {
-    val m = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
+    // same open-addressing shape as termFreqsOf, with growable primitive
+    // position arrays per distinct term; first-occurrence order preserved
+    val n = toks.length
+    if (n == 0) return Array.empty
+    var cap = 8
+    while (cap < (n << 1)) cap <<= 1
+    val mask    = cap - 1
+    val slotKey = new Array[String](cap)
+    val slotIdx = new Array[Int](cap)
+    val terms   = new Array[String](n)
+    val poss    = new Array[Array[Int]](n)
+    val lens    = new Array[Int](n)
+    var distinct = 0
     var i = 0
-    while (i < toks.length) {
-      m.getOrElseUpdate(toks(i), mutable.ArrayBuffer.empty[Int]) += i
+    while (i < n) {
+      val t = toks(i)
+      var s = t.hashCode & mask
+      var k = slotKey(s)
+      while (k != null && !(k.eq(t) || k == t)) { s = (s + 1) & mask; k = slotKey(s) }
+      if (k == null) {
+        slotKey(s) = t; slotIdx(s) = distinct
+        terms(distinct) = t
+        poss(distinct) = new Array[Int](4)
+        poss(distinct)(0) = i
+        lens(distinct) = 1
+        distinct += 1
+      } else {
+        val d = slotIdx(s)
+        if (lens(d) == poss(d).length) poss(d) = java.util.Arrays.copyOf(poss(d), lens(d) << 1)
+        poss(d)(lens(d)) = i
+        lens(d) += 1
+      }
       i += 1
     }
-    m.iterator.map { case (t, ps) => (t, ps.length, ps.toArray) }.toArray
+    val out = new Array[(String, Int, Array[Int])](distinct)
+    i = 0
+    while (i < distinct) {
+      out(i) = (terms(i), lens(i), java.util.Arrays.copyOf(poss(i), lens(i)))
+      i += 1
+    }
+    out
   }
 }

@@ -26,8 +26,32 @@ object ClusterProf {
     * forked executor itself never needs the variable). JDK17-safe here:
     * build.sbt already opens java.base/java.util.
     */
-  def ensureSparkScalaVersion(): Unit =
+  def ensureSparkScalaVersion(): Unit = {
     if (!sys.env.contains("SPARK_SCALA_VERSION")) putenv("SPARK_SCALA_VERSION", "2.13")
+    reapStaleBenchDirs()
+  }
+
+  /** Reclaim /dev/shm bench dirs left by a PREVIOUS bench process that was
+    * killed before its own end-of-run cleanup (observed: a timed-out driver
+    * run stranded 21 GB of tmpfs — which is RAM — and every later run then
+    * paid for it in page-cache pressure). Only entries last modified before
+    * THIS JVM started are stale; the current run's freshly created staging
+    * dirs are never touched.
+    */
+  def reapStaleBenchDirs(): Unit =
+    try {
+      val base = new java.io.File("/dev/shm/graft-bench")
+      if (base.isDirectory) {
+        val jvmStart =
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+        base.listFiles().foreach { d =>
+          if (d.lastModified() < jvmStart) {
+            import scala.reflect.io.Directory
+            new Directory(d).deleteRecursively()
+          }
+        }
+      }
+    } catch { case _: Exception => () } // hygiene only — never fail a run
 
   /** Standalone Workers override the app's spark.local.dir for their
     * executors (the SparkConf WARN): executor shuffle/spill dirs come from
