@@ -38,6 +38,9 @@ object BenchExtra {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // same tmpfs scratch as BenchServe — this sandbox's root disk
+      // writeback-throttles shuffles 10-20x (Bench.ShmBase note)
+      .config("spark.local.dir", "/dev/shm/graft-benchextra/spark-local")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()

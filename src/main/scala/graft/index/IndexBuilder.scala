@@ -610,13 +610,38 @@ object IndexBuilder {
     * batch-build / compaction consolidation pass.
     */
   def writeTermsFromPostings(spark: SparkSession, indexDir: String, codec: String = "zstd"): Unit = {
+    import spark.implicits._
     delete(spark, s"$indexDir/terms")
+    // ONE shuffle instead of two: range-partition the raw per-bucket stats
+    // rows by term (all rows of a term land in one partition — range
+    // partitioning is by key value), sort, and aggregate the contiguous
+    // term runs in a streaming pass. The old groupBy-then-repartitionByRange
+    // hash-shuffled the ~|vocabulary| rows once and range-shuffled them
+    // again; same output rows, same term-ascending order per file (the
+    // row-group pruning contract), one fewer full shuffle in the build tail.
     spark.read.parquet(s"$indexDir/postings")
-      .groupBy("term")
-      .agg(sum("df").as("df"), sum("cf").as("cf"),
-        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
+      .select(col("term"), col("df"), col("cf"), col("maxTf"), col("minDl"))
       .repartitionByRange(8, col("term"))
       .sortWithinPartitions("term")
+      .as[(String, Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Long, Int, Int)] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, Long, Int, Int) = {
+            val (term, df0, cf0, maxTf0, minDl0) = buf.next()
+            var df = df0; var cf = cf0; var maxTf = maxTf0; var minDl = minDl0
+            while (buf.hasNext && buf.head._1 == term) {
+              val r = buf.next()
+              df += r._2; cf += r._3
+              if (r._4 > maxTf) maxTf = r._4
+              if (r._5 < minDl) minDl = r._5
+            }
+            (term, df, cf, maxTf, minDl)
+          }
+        }
+      }
+      .toDF("term", "df", "cf", "maxTf", "minDl")
       .withColumn("seg", lit(0L))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("seg")

@@ -86,7 +86,7 @@ object PostProf {
         }(org.apache.spark.sql.Encoders.product[graft.model.TermPostings]).toDF()
           .write.format("noop").mode("overwrite").save()
       }
-      t(s"$lap c-plus-parquet-write") {
+      for (codec <- Seq("zstd", "lz4")) t(s"$lap c-plus-parquet-write-$codec") {
         fat.mapPartitions { it =>
           IndexBuilder.spimiBlockify(it.map { case (b, d, dl, ts, tf) =>
             (b, d, dl, IndexBuilder.splitTerms(ts), tf)
@@ -96,9 +96,14 @@ object PostProf {
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("pbucket")
-          .option("compression", "zstd")
+          .option("compression", codec)
           .option("parquet.enable.dictionary", "false")
-          .parquet(s"$base/postings")
+          .parquet(s"$base/postings-$codec")
+        System.err.println(s"  [$lap] $codec bytes=" + {
+          def du(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(du).sum else f.length()
+          du(new java.io.File(s"$base/postings-$codec"))
+        })
       }
     }
     s.stop()
