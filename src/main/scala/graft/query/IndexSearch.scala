@@ -1129,12 +1129,20 @@ object IndexSearch {
       .select(col("docId").as("doc_id"), col("doclen").cast("long").as("dl_t"))
     val dlS = spark.read.parquet(s"$srcIndexDir/docs")
       .select(col("docId").as("doc_id"), col("doclen").cast("long").as("dl_s"))
-    val dl = dlT.join(dlS, Seq("doc_id"))
-      .select(col("doc_id"), (col("dl_t") + col("dl_s")).as("doclen"))
+    // full-outer + coalesce: a doc indexed in only one field (empty other
+    // field, or per-field doc sets that diverge) still belongs to the
+    // combined pseudo-field — the relational twin scores any doc with
+    // tokens in EITHER field
+    val dl = dlT.join(dlS, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("dl_t"), lit(0L)) + coalesce(col("dl_s"), lit(0L))).as("doclen"))
 
     val stT = QueryEngine.loadStats(spark, textIndexDir)
     val stS = QueryEngine.loadStats(spark, srcIndexDir)
-    val n = stT.n
+    // n = docs with tokens in EITHER field (the combined pseudo-field's N),
+    // not the text index's N alone — an empty-text doc with source tokens
+    // counts in the twin's corpus statistics
+    val n = dl.filter(col("doclen") > 0).count()
     val avgdl = (stT.totalTokens + stS.totalTokens).toDouble / n.toDouble
 
     // identical expression shape to Bm25Sql.termRowsFromTermTable (and the

@@ -1829,7 +1829,10 @@ object SearchOps {
              org.apache.spark.sql.types.IntegerType => "long"
         case _ => "unsupported"
       }
-      (f.name, esType, true, esType != "text")
+      // an unmapped type is neither searchable nor aggregatable — claiming
+      // capabilities for a column the engine cannot query would desync the
+      // capability surface from reality (and from the oracle derivation)
+      (f.name, esType, esType != "unsupported", esType != "text" && esType != "unsupported")
     }.toSeq
     val caps = fields.toDF("field", "es_type", "searchable", "aggregatable")
     val counts = docs.agg(

@@ -40,6 +40,53 @@ class Dsl5Spec extends SparkSpecBase {
     assert(comb != best)
   }
 
+  test("combined_fields: doc with tokens in ONE field only — twins still agree (n/dl from the combined set)") {
+    // doc 0's text emptied: its tokens live only in `source`. The old
+    // index twin took n from the text index's stats (which exclude
+    // doclen-0 docs) and inner-joined the doclen sidecars — this fixture
+    // is exactly the shape the ADVICE flagged.
+    val docs = TextOps.documents(spark, sf)
+      .withColumn("text", when(col("doc_id") === 0, lit("")).otherwise(col("text")))
+    val rel = SearchOps.combinedFieldsTopK(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val n0 = docs.count()
+    val bucketSize = math.max(1L, (n0 + 3) / 4)
+    def build(field: org.apache.spark.sql.Column, dir: String): String = {
+      val assigned = docs.select(
+        col("doc_id").cast("long").as("docId"),
+        (col("doc_id").cast("long") / bucketSize).cast("int").as("bucket"),
+        concat(lit("t://"), col("doc_id")).as("url"),
+        lit(0L).as("version"),
+        field.cast("string").as("text"))
+      graft.index.IndexBuilder.buildFromAssigned(spark, assigned, dir,
+        graft.index.IndexBuilder.Config(numBuckets = 4))
+      dir
+    }
+    val tDir = build(col("text"),
+      java.nio.file.Files.createTempDirectory("cf-onefield-t").toString)
+    val sDir = build(col("source"),
+      java.nio.file.Files.createTempDirectory("cf-onefield-s").toString)
+    val idx = IndexSearch.combinedFieldsTopK(spark, tDir, sDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(idx == rel)
+    // and doc 0 is actually reachable via its source term (mm4 = "src0"
+    // matches source values "src0"): the one-field doc is scored, not
+    // silently dropped
+    assert(idx.exists { case (q, _, d, _) => q == "mm4" && d == 0L } ==
+      rel.exists { case (q, _, d, _) => q == "mm4" && d == 0L })
+  }
+
+  test("field_caps: unsupported column types report searchable=false, aggregatable=false") {
+    val docs = TextOps.documents(spark, sf)
+      .withColumn("weird", array(lit(1.5), lit(2.5))) // array<double>: unmapped
+    val rows = SearchOps.fieldCaps(docs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows("weird") == ("unsupported", false, false))
+    // supported columns keep their capabilities
+    assert(rows("text") == ("text", true, false))
+    assert(rows("doc_id")._2 && rows("doc_id")._3)
+  }
+
   test("_msearch: each request is the k-prefix of its standalone search") {
     val docs = TextOps.documents(spark, sf)
     val ms = SearchOps.msearch(docs).collect()
