@@ -239,9 +239,13 @@ object IndexBuilder {
     val versioned = pages.toDF()
       .withColumn("version", shiftleft(unix_timestamp(col("warc_ts")), 32))
       .select("url", "version", "text")
-    val assigned = assignDocIds(spark, versioned, cfg.numBuckets)
-      .toDF("docId", "bucket", "url", "version", "text")
-    buildFromAssigned(spark, assigned, indexDir, cfg)
+    // keep the assignment TYPED into buildFromAssignedTyped: a toDF +
+    // select round trip between the dedup mapPartitions and the tokenize
+    // map would serialize every fat text row to UnsafeRow and back once
+    // for nothing (EliminateSerialization can only fuse object pipelines
+    // that stay object pipelines)
+    buildFromAssignedTyped(spark, assignDocIds(spark, versioned, cfg.numBuckets),
+      indexDir, cfg)
   }
 
   /** Build from pre-assigned (docId, bucket, url, version, text) rows —
@@ -251,8 +255,23 @@ object IndexBuilder {
     */
   def buildFromAssigned(spark: SparkSession, assignedIn: DataFrame, indexDir: String, cfg: Config = Config()): BuildResult = {
     import spark.implicits._
+    buildFromAssignedTyped(spark,
+      assignedIn.select("docId", "bucket", "url", "version", "text")
+        .as[(Long, Int, String, Long, String)],
+      indexDir, cfg)
+  }
+
+  /** Typed core of [[buildFromAssigned]] — `build` feeds `assignDocIds`'
+    * object output straight in, so the dedup mapPartitions and the
+    * tokenize map fuse into ONE object pipeline (no UnsafeRow round trip
+    * of the fat text rows between them; the resume filter below is a typed
+    * filter for the same reason).
+    */
+  def buildFromAssignedTyped(spark: SparkSession,
+      assigned: Dataset[(Long, Int, String, Long, String)],
+      indexDir: String, cfg: Config = Config()): BuildResult = {
+    import spark.implicits._
     val phase = new PhaseClock
-    val assigned = assignedIn.select("docId", "bucket", "url", "version", "text")
 
     val doneBuckets: Set[Int] = phase("read-lineage") {
       if (cfg.resume && exists(spark, s"$indexDir/lineage"))
@@ -268,9 +287,12 @@ object IndexBuilder {
     // natural checkpoint between extraction and index construction.
     val stage = s"$indexDir/stage_tokenized"
     phase("stage-tokenize") {
-      val base = assigned
-        .filter(!col("bucket").isin(doneBuckets.toSeq: _*))
-        .as[(Long, Int, String, Long, String)]
+      val base =
+        if (doneBuckets.isEmpty) assigned
+        else {
+          val done = doneBuckets
+          assigned.filter(r => !done.contains(r._2))
+        }
       val an = TextPrep.Analyzer(cfg.analyzer)
       // `terms` is staged as ONE space-joined string, not array<string>:
       // tokens can never contain whitespace (both analyzers split on it),
