@@ -20,13 +20,24 @@ object PlanCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // self-reported totals (the authoritative counting rule: one
+    // assertion per want/reject string, one check group per check() call)
+    var nChecks = 0
+    var nAsserts = 0
+    var nFailed = 0
     def check(name: String, plan: String, wants: Seq[String], rejects: Seq[String] = Nil): Unit = {
       println(s"\n===== $name =====")
+      nChecks += 1
+      nAsserts += wants.size + rejects.size
       wants.foreach { w =>
-        println(s"CHECK want '$w': " + (if (plan.contains(w)) "OK" else "MISSING"))
+        val ok = plan.contains(w)
+        if (!ok) nFailed += 1
+        println(s"CHECK want '$w': " + (if (ok) "OK" else "MISSING"))
       }
       rejects.foreach { r =>
-        println(s"CHECK reject '$r': " + (if (plan.contains(r)) "PRESENT(BAD)" else "OK"))
+        val bad = plan.contains(r)
+        if (bad) nFailed += 1
+        println(s"CHECK reject '$r': " + (if (bad) "PRESENT(BAD)" else "OK"))
       }
       if (sys.env.contains("PLAN_FULL")) println(plan)
     }
@@ -368,6 +379,9 @@ object PlanCheck {
     check("urlmap partition pruning", pruned.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
       wants = Seq("PartitionFilters: [urange"))
+
+    println(s"\nPLANCHECK TOTAL: $nAsserts assertions in $nChecks checks, " +
+      s"$nFailed failed" + (if (nFailed == 0) " — ALL OK" else ""))
 
     spark.stop()
   }
